@@ -1,0 +1,87 @@
+"""Minimal functional NN primitives (NHWC) used by the ISP CNN modules.
+
+Weights are plain nested dicts of jnp arrays so they compose transparently
+with jax.grad / optax / shardings.  Convolutions use lax.conv_general_dilated
+with NHWC/HWIO layouts, which XLA maps directly onto the TPU MXU.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int = 1,
+           padding: str = "SAME") -> jnp.ndarray:
+    """2-D convolution, NHWC activations, HWIO weights, fp32 accumulation."""
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b
+
+
+def init_conv(key: jax.Array, kh: int, kw: int, cin: int, cout: int) -> dict:
+    """Kaiming-uniform conv + bias init (matches torch.nn.Conv2d defaults,
+    so randomly-initialized proxies have the reference's activation scale)."""
+    wkey, bkey = jax.random.split(key)
+    fan_in = kh * kw * cin
+    bound = math.sqrt(1.0 / fan_in)
+    # torch kaiming_uniform with a=sqrt(5) gives weight bound sqrt(6/((1+5)fan_in))
+    wbound = math.sqrt(6.0 / (6.0 * fan_in))
+    w = jax.random.uniform(wkey, (kh, kw, cin, cout), jnp.float32, -wbound, wbound)
+    b = jax.random.uniform(bkey, (cout,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Depth-to-space with torch.nn.PixelShuffle channel semantics.
+
+    Input (N, H, W, C*r*r) where the channel index decomposes as c*r*r + i*r + j;
+    output (N, H*r, W*r, C).  Matching torch exactly matters for the RGGB
+    pack/unpack round-trips in the Bayer-domain CNNs
+    (reference codes/models/modules/path_14l_bayer_arch.py:48).
+    """
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (N, H, r_i, W, r_j, C)
+    return x.reshape(n, h * r, w * r, c)
+
+
+def bayer_to_rggb(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, 1) Bayer RGGB mosaic -> (N, H/2, W/2, 4) planes [R, G1, G2, B].
+
+    Channel order matches the reference's pack (path_14l_bayer_arch.py:71-75).
+    """
+    r = x[:, 0::2, 0::2, 0]
+    g1 = x[:, 0::2, 1::2, 0]
+    g2 = x[:, 1::2, 0::2, 0]
+    b = x[:, 1::2, 1::2, 0]
+    return jnp.stack([r, g1, g2, b], axis=-1)
+
+
+def rggb_to_bayer(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of bayer_to_rggb: (N, h, w, 4) -> (N, 2h, 2w, 1)."""
+    n, h, w, _ = x.shape
+    out = jnp.zeros((n, 2 * h, 2 * w), x.dtype)
+    out = out.at[:, 0::2, 0::2].set(x[..., 0])
+    out = out.at[:, 0::2, 1::2].set(x[..., 1])
+    out = out.at[:, 1::2, 0::2].set(x[..., 2])
+    out = out.at[:, 1::2, 1::2].set(x[..., 3])
+    return out[..., None]
+
+
+def broadcast_params(params: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(N, P) parameter vectors -> (N, H, W, P) constant feature planes.
+
+    The parameter-conditioning mechanism of the proxy CNNs
+    (reference codes/models/modules/srcnn_res_arch.py:45-47).
+    """
+    return jnp.broadcast_to(params[:, None, None, :], (params.shape[0], h, w, params.shape[1]))
