@@ -1,0 +1,147 @@
+"""Headline benchmark: raw->sRGB throughput at 12 MP on one TPU chip.
+
+Pipeline: the reference's SID fixed architecture Bayer_01_Demosaic_03_sRGB_01_13_11
+(reference codes/options/train/SID_isp.yml:28) — Path-Restore-14L Bayer
+denoise, Malvar demosaic, gamma, quadratic CCM, manual WB — compiled to one
+XLA program over an HBM-resident 4096x3072 mosaic (12.6 MP).
+
+Baseline: the reference implementation targets CUDA GPUs, which this
+environment does not have, so the comparison point is the same pipeline
+implemented in PyTorch (independently written here, same ops/shapes) on the
+available torch backend (CPU), measured at 512x512 and scaled to MP/s.  The
+measured torch number is cached in .bench_baseline.json.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": ratio}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+H, W = 3072, 4096  # 12.58 MP
+MP = H * W / 1e6
+ARCH = "Bayer_01_Demosaic_03_sRGB_01_13_11"
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_baseline.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------- TPU measure
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    from reconfigisp_tpu.pipeline import Pipeline
+
+    log(f"jax devices: {jax.devices()}")
+    pipe = Pipeline(ARCH)
+    state = pipe.init(jax.random.PRNGKey(0))
+    fwd = jax.jit(lambda s, x: pipe(s, x))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 1),
+                           jnp.float32, 0.02, 0.98)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fwd(state, x))
+    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+    for _ in range(2):  # warmup
+        jax.block_until_ready(fwd(state, x))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = fwd(state, x)
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+    mps = MP * iters / dt
+    log(f"tpu: {iters} iters in {dt:.3f}s -> {mps:.1f} MP/s "
+        f"({dt / iters * 1e3:.1f} ms / 12MP frame)")
+    return mps
+
+
+# ------------------------------------------------------------ torch baseline
+
+def measure_torch_baseline() -> float:
+    """Same pipeline in PyTorch on the available torch backend (CPU).
+    Measured at 512x512, 2 iters, reported as MP/s."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cached = json.load(f)
+        if cached.get("arch") == ARCH:
+            log(f"torch baseline (cached): {cached['mps']:.2f} MP/s")
+            return cached["mps"]
+
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    s = 512
+    torch.manual_seed(0)
+
+    # Path-Restore-14L Bayer: RGGB pack -> conv stack -> pixel shuffle
+    convs = [torch.randn(64, 4, 3, 3) * 0.05] + \
+            [torch.randn(64, 64, 3, 3) * 0.05 for _ in range(12)] + \
+            [torch.randn(4, 64, 3, 3) * 0.05]
+    ccm = torch.randn(10, 3) * 0.1
+
+    def run(x):  # x (1,1,H,W) bayer
+        packed = torch.cat([x[:, :, 0::2, 0::2], x[:, :, 0::2, 1::2],
+                            x[:, :, 1::2, 0::2], x[:, :, 1::2, 1::2]], 1)
+        y = packed
+        for i, wgt in enumerate(convs):
+            y = F.conv2d(y, wgt, padding=1)
+            if i < len(convs) - 1:
+                y = F.relu(y)
+        bayer = F.pixel_shuffle(y, 2)
+        # malvar demosaic (3 output channels x 4 phases as one conv)
+        bank = torch.randn(12, 1, 5, 5) * 0.1
+        dem = F.conv2d(bayer, bank, padding=2)
+        rgbish = dem[:, :3] + dem[:, 3:6] + dem[:, 6:9] + dem[:, 9:12]
+        img = torch.sigmoid(rgbish)
+        # gamma
+        img = img.clamp(1e-6, 1) ** 0.8
+        # quadratic CCM
+        b, g, r = img[:, 0], img[:, 1], img[:, 2]
+        basis = torch.stack([b * b, g * g, r * r, b * g, b * r, g * r,
+                             b, g, r, torch.ones_like(b)], -1)
+        img = (basis @ ccm).permute(0, 3, 1, 2).clamp(0, 1)
+        # manual WB
+        return (img * torch.tensor([1.0, 0.9, 1.1]).view(1, 3, 1, 1)).clamp(0, 1)
+
+    x = torch.rand(1, 1, s, s)
+    with torch.no_grad():
+        run(x)  # warmup
+        iters = 2
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run(x)
+        dt = time.perf_counter() - t0
+    mps = (s * s / 1e6) * iters / dt
+    log(f"torch baseline: {iters} iters @ {s}x{s} in {dt:.2f}s -> {mps:.2f} MP/s")
+    with open(CACHE, "w") as f:
+        json.dump({"arch": ARCH, "mps": mps}, f)
+    return mps
+
+
+def main():
+    tpu_mps = measure_tpu()
+    try:
+        base_mps = measure_torch_baseline()
+        vs = tpu_mps / base_mps
+    except Exception as e:  # pragma: no cover
+        log(f"baseline measurement failed: {e}")
+        vs = float("nan")
+    print(json.dumps({
+        "metric": "raw2srgb_throughput_12mp",
+        "value": round(tpu_mps, 2),
+        "unit": "MP/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
