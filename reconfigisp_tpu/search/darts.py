@@ -133,16 +133,13 @@ def make_darts_step(forward: Callable, criterion: Callable,
         g_alpha = jax.tree.map(alpha_grad, dalpha, hessian)
 
         # ---- 4) Adam step on alphas (torch semantics) ----
-        t = opt_state["adam_t"] + 1
-        m = jax.tree.map(lambda m_, g: cfg.beta1 * m_ + (1 - cfg.beta1) * g,
-                         opt_state["adam_m"], g_alpha)
-        v = jax.tree.map(lambda v_, g: cfg.beta2 * v_ + (1 - cfg.beta2) * g * g,
-                         opt_state["adam_v"], g_alpha)
-        bc1 = 1 - cfg.beta1 ** t.astype(jnp.float32)
-        bc2 = 1 - cfg.beta2 ** t.astype(jnp.float32)
-        new_alphas = jax.tree.map(
-            lambda a, m_, v_: a - lr_alpha * (m_ / bc1) /
-            (jnp.sqrt(v_ / bc2) + cfg.adam_eps), alphas, m, v)
+        from reconfigisp_tpu.utils.optim import adam_update
+        new_alphas, adam_state = adam_update(
+            alphas, g_alpha,
+            {"m": opt_state["adam_m"], "v": opt_state["adam_v"],
+             "t": opt_state["adam_t"]},
+            lr=lr_alpha, beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.adam_eps)
+        m, v, t = adam_state["m"], adam_state["v"], adam_state["t"]
 
         # ---- 5) SGD+momentum step on theta at the *new* alphas ----
         # (reference train.py:207-209 runs optimize_alphas before

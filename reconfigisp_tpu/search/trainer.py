@@ -1,0 +1,370 @@
+"""Trainers: fixed-pipeline training, DARTS search, search with proxy tuning.
+
+Re-design of the reference's model layer —
+  IspTrainer      <- IspModel     (reference codes/models/isp_model.py:15-151)
+  DartsTrainer    <- DartsModel   (darts_model.py:19-330) + train.py loop
+  DartsFtTrainer  <- DartsFtModel (darts_ft_model.py:20-368) + train_ft.py
+Each trainer owns pure jitted step functions plus host-side orchestration
+(schedule, logging, checkpoint/resume — resume is wired, unlike the
+reference's train.py:81-82).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reconfigisp_tpu.pipeline import Pipeline
+from reconfigisp_tpu.supernet import SuperNet
+from reconfigisp_tpu.registry import get_op
+from reconfigisp_tpu.search.darts import (
+    DartsConfig, init_darts_opt_state, make_darts_step)
+from reconfigisp_tpu.utils import losses, optim, checkpoint
+from reconfigisp_tpu.utils.schedule import make_schedule
+from reconfigisp_tpu.utils.logging_utils import setup_logger, MetricsLogger
+from reconfigisp_tpu.parallel import mesh as meshlib
+from reconfigisp_tpu.parallel.dp import make_data_parallel_step
+
+
+def _to_device_batch(batch: dict) -> dict:
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+class IspTrainer:
+    """Adam on a fixed pipeline's parameter logits
+    (reference isp_model.py:86-90,128-143; CNN weights are not trained there
+    — set train_weights=True to extend)."""
+
+    def __init__(self, pipeline: Pipeline, train_opt: dict, *,
+                 key: Optional[jax.Array] = None,
+                 train_weights: bool = False,
+                 mesh=None):
+        self.pipeline = pipeline
+        self.train_opt = dict(train_opt)
+        self.train_weights = train_weights
+        self.state = pipeline.init(key if key is not None else
+                                   jax.random.PRNGKey(0))
+        self.criterion = losses.make_criterion(
+            train_opt.get("pixel_criterion", "l2"), train_opt)
+        self.schedule = make_schedule(train_opt)
+        self.lr = train_opt.get("lr_G", 1e-3)
+        self.beta1 = train_opt.get("beta1", 0.9)
+        self.beta2 = train_opt.get("beta2", 0.99)
+        self.step_idx = 0
+
+        def trainable_of(state):
+            if train_weights:
+                return {"logits": state["logits"], "weights": state["weights"]}
+            return {"logits": state["logits"]}
+
+        self._trainable_of = trainable_of
+        self.opt_state = optim.adam_init(trainable_of(self.state))
+
+        def step(state, opt_state, batch, lr_scale):
+            def loss_fn(trainable):
+                full = dict(state)
+                full.update(trainable)
+                pred, _, latency = pipeline(full, batch["noisy"],
+                                            return_intermediates=True)
+                return self.criterion(pred, batch["gt"], latency=latency), pred
+
+            (loss, pred), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable_of(state))
+            new_trainable, new_opt = optim.adam_update(
+                trainable_of(state), grads, opt_state,
+                lr=self.lr * lr_scale, beta1=self.beta1, beta2=self.beta2)
+            new_state = dict(state)
+            new_state.update(new_trainable)
+            return new_state, new_opt, {"loss": loss}
+
+        if mesh is not None:
+            self._step = make_data_parallel_step(step, mesh)
+            self._mesh = mesh
+        else:
+            self._step = jax.jit(step)
+            self._mesh = None
+
+    def train_step(self, batch: dict) -> dict:
+        self.step_idx += 1
+        lr_scale = self.schedule(self.step_idx)
+        batch = _to_device_batch(batch)
+        if self._mesh is not None:
+            batch = meshlib.shard_batch(self._mesh, batch)
+        self.state, self.opt_state, logs = self._step(
+            self.state, self.opt_state, batch, lr_scale)
+        return {k: float(v) for k, v in logs.items()}
+
+    def test(self, noisy) -> tuple:
+        """-> (output, intermediates) (reference isp_model.py:144-151)."""
+        y, mids, _ = self.pipeline(self.state, jnp.asarray(noisy),
+                                   return_intermediates=True)
+        return y, mids
+
+
+class DartsTrainer:
+    """Bilevel search orchestration (reference DartsModel + train.py loop)."""
+
+    def __init__(self, supernet: SuperNet, train_opt: dict, *,
+                 key: Optional[jax.Array] = None, mesh=None,
+                 forward: Optional[Callable] = None):
+        self.net = supernet
+        self.train_opt = dict(train_opt)
+        self.variables = supernet.init(
+            key if key is not None else jax.random.PRNGKey(0))
+        self.opt_state = init_darts_opt_state(self.variables)
+        self.criterion = losses.make_criterion(
+            train_opt.get("pixel_criterion", "l2"), train_opt)
+        self.schedule = make_schedule(train_opt)
+        self.cfg = DartsConfig(
+            lr_theta=train_opt.get("lr_G", 1e-4),
+            momentum=train_opt.get("momentum_G", 0.9),
+            lr_meta=train_opt.get("lr_meta", 1e-4),
+            lr_alpha=train_opt.get("lr_G", 1e-4),
+            beta1=train_opt.get("beta1", 0.9),
+            beta2=train_opt.get("beta2", 0.99))
+        self.step_idx = 0
+        self._mesh = mesh
+
+        if forward is None:
+            def forward(theta, alphas, omega, img):
+                y, aux = supernet(
+                    {"theta": theta, "alphas": alphas, "omega": omega},
+                    img, return_aux=True)
+                return y, aux["latency"]
+
+        raw = make_darts_step(forward, self.criterion, self.cfg)
+        self._step = (make_data_parallel_step(raw, mesh) if mesh is not None
+                      else jax.jit(raw))
+
+    def search_step(self, train_batch: dict, val_batch: dict) -> dict:
+        self.step_idx += 1
+        lr_scale = self.schedule(self.step_idx)
+        batch = {"img": train_batch["noisy"], "gt": train_batch["gt"],
+                 "val_img": val_batch["noisy"], "val_gt": val_batch["gt"]}
+        batch = _to_device_batch(batch)
+        if self._mesh is not None:
+            batch = meshlib.shard_batch(self._mesh, batch)
+        self.variables, self.opt_state, logs = self._step(
+            self.variables, self.opt_state, batch, lr_scale)
+        return {k: float(v) for k, v in logs.items()}
+
+    # ---------------------------------------------------------- housekeeping
+
+    def pruned_paths(self, img) -> np.ndarray:
+        _, aux = self.net(self.variables, jnp.asarray(img), return_aux=True)
+        return np.asarray(aux["pruned"])
+
+    def architecture(self) -> str:
+        return self.net.argmax_architecture(self.variables)
+
+    def save(self, models_dir: str, state_dir: str, epoch: int):
+        checkpoint.save_network(models_dir, "G", self.step_idx, self.variables)
+        checkpoint.save_training_state(
+            state_dir, self.step_idx, epoch=epoch, step=self.step_idx,
+            variables=self.variables, opt_state=self.opt_state)
+
+    def resume(self, state_path: str) -> int:
+        st = checkpoint.load_training_state(state_path)
+        self.variables = jax.tree.map(jnp.asarray, st["variables"])
+        self.opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
+        self.step_idx = st["step"]
+        return st["epoch"]
+
+
+class DartsFtTrainer(DartsTrainer):
+    """Search + online proxy tuning (reference DartsFtModel/train_ft.py).
+
+    Keeps a FIFO replay memory of intermediate sRGB tensors
+    (darts_ft_model.py:194-201); finetune_proxies() distills each ft-eligible
+    proxy CNN against our *native* implementation of its algorithm on random
+    params ~ U[0,1] (darts_ft_model.py:221-240 — there the targets are the
+    external C kernels).  Because omega is shared across slots, one update
+    reaches every slot (the reference broadcasts weights manually,
+    super_prune..._ft.py:194-209)."""
+
+    def __init__(self, supernet: SuperNet, train_opt: dict,
+                 proxy_ft_params: dict, **kw):
+        if not supernet.use_proxies:
+            raise ValueError("DartsFtTrainer requires use_proxies=True")
+        super().__init__(supernet, train_opt, **kw)
+        self.memory_size = proxy_ft_params.get("memory_size", 1000)
+        self.ft_steps = proxy_ft_params.get("ft_steps", 5)
+        self.ft_interval = proxy_ft_params.get("ft_interval", 100)
+        self.ft_data: list = []
+        self._ft_rng = np.random.default_rng(
+            train_opt.get("manual_seed", 0) or 0)
+
+        # ft-eligible ops: proxies with a native target
+        self.ft_ops = [s for s in
+                       {spec.name: spec for _, ops in supernet.slots
+                        for spec in ops}.values() if s.ft_target]
+        self.ft_opt = {s.name: optim.adam_init(
+            self.variables["omega"][s.name]) for s in self.ft_ops}
+
+        self._ft_steps_jit = {}
+        for spec in self.ft_ops:
+            self._ft_steps_jit[spec.name] = jax.jit(
+                self._make_ft_step(spec))
+
+    def _make_ft_step(self, spec):
+        proxy_apply = spec.proxy_apply
+        native_apply = spec.apply
+        lr = self.cfg.lr_alpha
+        b1, b2 = self.cfg.beta1, self.cfg.beta2
+
+        def ft_step(weights, opt_state, data, params):
+            target = jax.lax.stop_gradient(native_apply(data, params, None))
+
+            def loss_fn(w):
+                return losses.l2(proxy_apply(data, params, w), target)
+
+            loss, grads = jax.value_and_grad(loss_fn)(weights)
+            new_w, new_opt = optim.adam_update(
+                weights, grads, opt_state, lr=lr, beta1=b1, beta2=b2)
+            return new_w, new_opt, loss
+
+        return ft_step
+
+    def record_intermediates(self, train_batch: dict):
+        """Push current sRGB intermediates into the FIFO memory
+        (reference darts_ft_model.py:194-201: only 3-channel tensors)."""
+        _, aux = self.net(self.variables, jnp.asarray(train_batch["noisy"]),
+                          return_aux=True)
+        for t in aux["intermediates"]:
+            if t.shape[-1] == 3:
+                self.ft_data.append(np.asarray(t))
+        if len(self.ft_data) > self.memory_size:
+            self.ft_data = self.ft_data[-self.memory_size:]
+
+    def finetune_proxies(self) -> dict:
+        if not self.ft_data:
+            return {}
+        logs = {}
+        for spec in self.ft_ops:
+            w = self.variables["omega"][spec.name]
+            opt = self.ft_opt[spec.name]
+            for _ in range(self.ft_steps):
+                data = self.ft_data[int(self._ft_rng.integers(len(self.ft_data)))]
+                p = self._ft_rng.random((1, spec.n_params)).astype(np.float32)
+                params = jnp.asarray(np.repeat(p, data.shape[0], axis=0))
+                w, opt, loss = self._ft_steps_jit[spec.name](
+                    w, opt, jnp.asarray(data), params)
+            self.variables["omega"][spec.name] = w
+            self.ft_opt[spec.name] = opt
+            logs[f"ft_{spec.name}"] = float(loss)
+        return logs
+
+
+def run_training(opt: dict, *, max_iters: Optional[int] = None,
+                 data_override=None) -> dict:
+    """End-to-end training driver (reference codes/train.py:58-301 and
+    train_ft.py).  Returns a summary dict (final losses, architecture)."""
+    from reconfigisp_tpu.data import create_dataset, create_search_loaders, \
+        create_loader
+
+    is_search = opt["model"] in ("darts", "darts_ft", "darts_yolo")
+    name = opt.get("name", "run")
+    paths = opt.get("path") or {}
+    log_dir = paths.get("log")
+    logger = setup_logger("base", log_dir, f"train_{name}")
+    metrics = MetricsLogger(log_dir, use_tb=bool(opt.get("use_tb_logger")))
+
+    train_opt = opt["train"]
+    niter = int(max_iters or train_opt.get("niter", 100))
+    seed = train_opt.get("manual_seed", 0) or 0
+    key = jax.random.PRNGKey(seed)
+
+    dataset_opt = dict(opt["datasets"]["train"])
+    dataset = data_override or create_dataset(dataset_opt)
+    batch_size = dataset_opt.get("batch_size", 4) or 4
+
+    mesh = None
+    if opt.get("dist"):
+        mesh = meshlib.make_mesh()
+
+    net_opt = opt["network_G"]
+    summary = {}
+
+    if is_search:
+        n_step = net_opt.get("n_step", 3) or 3
+        threshold = net_opt.get("prune_threshold", 0.2) or 0.2
+        use_proxies = (opt["model"] == "darts_ft") or bool(
+            net_opt.get("use_proxies"))
+        from reconfigisp_tpu.registry import SUPERNET_SRGB_COUNT
+        net = SuperNet(n_step=n_step, threshold=threshold,
+                       use_proxies=use_proxies,
+                       srgb_count=net_opt.get("srgb_count")
+                       or SUPERNET_SRGB_COUNT)
+        if opt["model"] == "darts_ft":
+            trainer = DartsFtTrainer(net, train_opt,
+                                     opt.get("proxy_ft_params") or {},
+                                     key=key, mesh=mesh)
+        else:
+            trainer = DartsTrainer(net, train_opt, key=key, mesh=mesh)
+
+        # resume if a training state exists (wired, unlike reference)
+        state_dir = paths.get("training_state")
+        if state_dir:
+            latest = checkpoint.latest_state(state_dir)
+            if latest:
+                epoch = trainer.resume(latest)
+                logger.info(f"resumed from {latest} (step {trainer.step_idx})")
+
+        train_loader, val_loader = create_search_loaders(
+            dataset, batch_size, seed=seed)
+        print_freq = (opt.get("logger") or {}).get("print_freq", 10)
+        save_freq = (opt.get("logger") or {}).get("save_checkpoint_freq")
+        t0 = time.time()
+        for (tb, vb) in zip(train_loader, val_loader):
+            if trainer.step_idx >= niter:
+                break
+            logs = trainer.search_step(tb, vb)
+            if isinstance(trainer, DartsFtTrainer):
+                trainer.record_intermediates(tb)
+                if trainer.step_idx % trainer.ft_interval == 0:
+                    logs.update(trainer.finetune_proxies())
+            if trainer.step_idx % print_freq == 0:
+                dt = (time.time() - t0) / print_freq
+                logger.info(
+                    f"iter {trainer.step_idx:8,d} loss {logs['loss']:.4e} "
+                    f"val {logs['val_loss']:.4e} ({dt:.3f}s/iter)")
+                metrics.scalars(trainer.step_idx, logs)
+                t0 = time.time()
+            if save_freq and trainer.step_idx % int(save_freq) == 0 \
+                    and paths.get("models"):
+                trainer.save(paths["models"], paths["training_state"], 0)
+        arch = trainer.architecture()
+        logger.info(f"final architecture: {arch}")
+        summary = {"architecture": arch, **logs}
+        if paths.get("models"):
+            trainer.save(paths["models"], paths["training_state"], 0)
+    else:
+        pipe = Pipeline(net_opt["architecture"],
+                        use_proxy=bool(net_opt.get("use_proxy")))
+        trainer = IspTrainer(pipe, train_opt, key=key, mesh=mesh,
+                             train_weights=bool(train_opt.get("train_weights")))
+        loader = create_loader(dataset, batch_size, shuffle_seed=seed)
+        print_freq = (opt.get("logger") or {}).get("print_freq", 10)
+        t0 = time.time()
+        for batch in loader:
+            if trainer.step_idx >= niter:
+                break
+            logs = trainer.train_step(batch)
+            if trainer.step_idx % print_freq == 0:
+                dt = (time.time() - t0) / print_freq
+                logger.info(f"iter {trainer.step_idx:8,d} "
+                            f"loss {logs['loss']:.4e} ({dt:.3f}s/iter)")
+                metrics.scalars(trainer.step_idx, logs)
+                t0 = time.time()
+        summary = dict(logs)
+        if paths.get("models"):
+            checkpoint.save_network(paths["models"], "G", trainer.step_idx,
+                                    trainer.state)
+    metrics.close()
+    summary["steps"] = trainer.step_idx
+    return summary

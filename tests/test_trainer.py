@@ -1,0 +1,133 @@
+"""Tests for the trainer layer: fixed-pipeline, DARTS, proxy tuning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reconfigisp_tpu import config
+from reconfigisp_tpu.pipeline import Pipeline
+from reconfigisp_tpu.supernet import SuperNet
+from reconfigisp_tpu.search.trainer import (
+    IspTrainer, DartsTrainer, DartsFtTrainer, run_training)
+from reconfigisp_tpu.data import SyntheticRawDataset, create_search_loaders
+
+
+def _batch(rng, n=2, s=16):
+    ds = SyntheticRawDataset(n=n, size=s, seed=int(rng.integers(1 << 30)))
+    items = [ds[i] for i in range(n)]
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class TestIspTrainer:
+    def test_loss_decreases(self, key, rng):
+        pipe = Pipeline("Bayer_02_Demosaic_03_sRGB_01_11")
+        tr = IspTrainer(pipe, {"lr_G": 5e-2, "pixel_criterion": "l2",
+                               "lr_scheme": "MultiStepLR", "lr_steps": []},
+                        key=key)
+        batch = _batch(rng)
+        losses = [tr.train_step(batch)["loss"] for _ in range(12)]
+        assert losses[-1] < losses[0]
+
+    def test_only_logits_trained_by_default(self, key, rng):
+        pipe = Pipeline("Bayer_01_Demosaic_04_sRGB_01", use_proxy=False)
+        tr = IspTrainer(pipe, {"lr_G": 1e-2, "pixel_criterion": "l2",
+                               "lr_scheme": "MultiStepLR", "lr_steps": []},
+                        key=key)
+        w_before = jax.tree.map(np.asarray, tr.state["weights"])
+        tr.train_step(_batch(rng))
+        for a, b in zip(jax.tree.leaves(w_before),
+                        jax.tree.leaves(tr.state["weights"])):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    def test_train_weights_mode(self, key, rng):
+        pipe = Pipeline("Bayer_02_Demosaic_04_sRGB_01")
+        tr = IspTrainer(pipe, {"lr_G": 1e-2, "pixel_criterion": "l2",
+                               "lr_scheme": "MultiStepLR", "lr_steps": []},
+                        key=key, train_weights=True)
+        w_before = jax.tree.map(np.asarray, tr.state["weights"])
+        tr.train_step(_batch(rng))
+        moved = any(
+            float(np.abs(a - np.asarray(b)).sum()) > 0
+            for a, b in zip(jax.tree.leaves(w_before),
+                            jax.tree.leaves(tr.state["weights"])))
+        assert moved
+
+
+class TestDartsFt:
+    def test_proxy_tuning_improves_imitation(self, key, rng):
+        """finetune_proxies must reduce proxy-vs-native error
+        (reference darts_ft_model.py:206-246)."""
+        net = SuperNet(n_step=1, threshold=0.2, use_proxies=True,
+                       srgb_count=4)
+        tr = DartsFtTrainer(
+            net, {"lr_G": 1e-3, "momentum_G": 0.9, "lr_meta": 1e-3,
+                  "beta1": 0.9, "beta2": 0.99, "pixel_criterion": "l2",
+                  "lr_scheme": "MultiStepLR", "lr_steps": []},
+            {"memory_size": 10, "ft_steps": 8, "ft_interval": 1}, key=key)
+        assert {s.name for s in tr.ft_ops} == {"reinhard", "crysisengine",
+                                               "filmic"}
+        batch = _batch(rng, n=2, s=16)
+        tr.record_intermediates(batch)
+        assert len(tr.ft_data) >= 1
+
+        # measure imitation error before/after on a fixed probe
+        from reconfigisp_tpu.registry import get_op
+        spec = get_op("srgb", "crysisengine")
+        probe = jnp.asarray(rng.uniform(0.1, 0.9, (2, 16, 16, 3)).astype(np.float32))
+        p = jnp.full((2, 1), 0.4, jnp.float32)
+
+        def err():
+            w = tr.variables["omega"]["crysisengine"]
+            return float(jnp.mean(
+                (spec.proxy_apply(probe, p, w) - spec.apply(probe, p, None)) ** 2))
+
+        before = err()
+        for _ in range(4):
+            tr.finetune_proxies()
+        assert err() < before
+
+    def test_ft_requires_proxy_mode(self, key):
+        net = SuperNet(n_step=1, threshold=0.2, use_proxies=False)
+        with pytest.raises(ValueError):
+            DartsFtTrainer(net, {}, {})
+
+
+class TestRunTraining:
+    def test_run_training_isp(self, tmp_path):
+        opt = config.parse_dict({
+            "name": "t_isp", "model": "isp",
+            "datasets": {"train": {"mode": "synthetic", "n": 16,
+                                   "data_size": 16, "batch_size": 2}},
+            "network_G": {"architecture": "Bayer_02_Demosaic_02_sRGB_01"},
+            "train": {"lr_G": 1e-2, "pixel_criterion": "l2", "niter": 6,
+                      "lr_scheme": "MultiStepLR", "lr_steps": [],
+                      "manual_seed": 1},
+            "logger": {"print_freq": 3},
+        }, root=str(tmp_path))
+        summary = run_training(opt)
+        assert summary["steps"] == 6
+        assert np.isfinite(summary["loss"])
+
+    def test_run_training_darts_and_resume(self, tmp_path):
+        base = {
+            "name": "t_darts", "model": "darts",
+            "datasets": {"train": {"mode": "synthetic", "n": 16,
+                                   "data_size": 16, "batch_size": 2}},
+            "network_G": {"n_step": 1, "prune_threshold": 0.2,
+                          "srgb_count": 4},
+            "train": {"lr_G": 1e-2, "momentum_G": 0.9, "lr_meta": 1e-2,
+                      "beta1": 0.9, "beta2": 0.99, "pixel_criterion": "l2",
+                      "niter": 4, "lr_scheme": "MultiStepLR",
+                      "lr_steps": [], "manual_seed": 1},
+            "logger": {"print_freq": 2, "save_checkpoint_freq": 4},
+        }
+        opt = config.parse_dict(dict(base), root=str(tmp_path))
+        s1 = run_training(opt)
+        assert s1["steps"] == 4
+        assert s1["architecture"].startswith("Bayer_")
+        # resume continues from the saved state (wired, unlike reference)
+        base["train"] = dict(base["train"], niter=6)
+        opt2 = config.parse_dict(dict(base), root=str(tmp_path))
+        s2 = run_training(opt2)
+        assert s2["steps"] == 6
