@@ -43,13 +43,15 @@ class IspTrainer:
     def __init__(self, pipeline: Pipeline, train_opt: dict, *,
                  key: Optional[jax.Array] = None,
                  train_weights: bool = False,
-                 mesh=None):
+                 mesh=None, criterion: Optional[Callable] = None,
+                 target_key: str = "gt"):
         self.pipeline = pipeline
         self.train_opt = dict(train_opt)
         self.train_weights = train_weights
+        self.target_key = target_key
         self.state = pipeline.init(key if key is not None else
                                    jax.random.PRNGKey(0))
-        self.criterion = losses.make_criterion(
+        self.criterion = criterion or losses.make_criterion(
             train_opt.get("pixel_criterion", "l2"), train_opt)
         self.schedule = make_schedule(train_opt)
         self.lr = train_opt.get("lr_G", 1e-3)
@@ -71,7 +73,8 @@ class IspTrainer:
                 full.update(trainable)
                 pred, _, latency = pipeline(full, batch["noisy"],
                                             return_intermediates=True)
-                return self.criterion(pred, batch["gt"], latency=latency), pred
+                return self.criterion(pred, batch[self.target_key],
+                                      latency=latency), pred
 
             (loss, pred), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable_of(state))
@@ -111,13 +114,16 @@ class DartsTrainer:
 
     def __init__(self, supernet: SuperNet, train_opt: dict, *,
                  key: Optional[jax.Array] = None, mesh=None,
-                 forward: Optional[Callable] = None):
+                 forward: Optional[Callable] = None,
+                 criterion: Optional[Callable] = None,
+                 target_key: str = "gt"):
         self.net = supernet
         self.train_opt = dict(train_opt)
+        self.target_key = target_key
         self.variables = supernet.init(
             key if key is not None else jax.random.PRNGKey(0))
         self.opt_state = init_darts_opt_state(self.variables)
-        self.criterion = losses.make_criterion(
+        self.criterion = criterion or losses.make_criterion(
             train_opt.get("pixel_criterion", "l2"), train_opt)
         self.schedule = make_schedule(train_opt)
         self.cfg = DartsConfig(
@@ -144,8 +150,9 @@ class DartsTrainer:
     def search_step(self, train_batch: dict, val_batch: dict) -> dict:
         self.step_idx += 1
         lr_scale = self.schedule(self.step_idx)
-        batch = {"img": train_batch["noisy"], "gt": train_batch["gt"],
-                 "val_img": val_batch["noisy"], "val_gt": val_batch["gt"]}
+        tk = self.target_key
+        batch = {"img": train_batch["noisy"], "gt": train_batch[tk],
+                 "val_img": val_batch["noisy"], "val_gt": val_batch[tk]}
         batch = _to_device_batch(batch)
         if self._mesh is not None:
             batch = meshlib.shard_batch(self._mesh, batch)
@@ -260,6 +267,46 @@ class DartsFtTrainer(DartsTrainer):
         return logs
 
 
+def make_yolo_criterion(blocks, yolo_weights, img_size: int):
+    """Frozen-YOLOv3 detection objective (reference
+    darts_yolo_model.py:130-137: BGR->RGB swap before the detector,
+    weights never updated)."""
+    from reconfigisp_tpu.yolo.net import apply_yolo
+    from reconfigisp_tpu.yolo.loss import yolo_loss
+
+    frozen = jax.tree.map(jax.lax.stop_gradient, yolo_weights)
+
+    def criterion(pred_bgr, labels, latency=None, **kw):
+        rgb = pred_bgr[..., ::-1]
+        heads = apply_yolo(frozen, blocks, rgb)
+        return yolo_loss(heads, labels, img_size)
+
+    return criterion
+
+
+def build_yolo_evaluator(yolo_opt: dict, img_size: int):
+    """(blocks, weights) from options: cfg 'yolov3' (full, 80-class default),
+    'tiny_test' (miniature test graph), or a darknet .cfg path; optional
+    darknet binary weights."""
+    from reconfigisp_tpu.yolo import cfg as ycfg
+    from reconfigisp_tpu.yolo.net import init_yolo, load_darknet_weights
+
+    kind = (yolo_opt or {}).get("cfg", "tiny_test")
+    n_cls = (yolo_opt or {}).get("classes", 1) or 1
+    if kind == "yolov3":
+        blocks = ycfg.yolov3_blocks(num_classes=n_cls)
+    elif kind == "tiny_test":
+        blocks = ycfg.yolov3_tiny_test_blocks(num_classes=n_cls)
+    else:
+        blocks = ycfg.parse_cfg(kind)
+    wpath = (yolo_opt or {}).get("weights")
+    if wpath:
+        weights = load_darknet_weights(blocks, wpath)
+    else:
+        weights = init_yolo(jax.random.PRNGKey(7), blocks)
+    return blocks, weights
+
+
 def run_training(opt: dict, *, max_iters: Optional[int] = None,
                  data_override=None) -> dict:
     """End-to-end training driver (reference codes/train.py:58-301 and
@@ -290,6 +337,15 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
     net_opt = opt["network_G"]
     summary = {}
 
+    is_yolo = "yolo" in (opt["model"] or "")
+    criterion = None
+    target_key = "gt"
+    if is_yolo:
+        img_size = dataset_opt.get("data_size", 64) or 64
+        blocks, yweights = build_yolo_evaluator(opt.get("yolo"), img_size)
+        criterion = make_yolo_criterion(blocks, yweights, img_size)
+        target_key = "label"
+
     if is_search:
         n_step = net_opt.get("n_step", 3) or 3
         threshold = net_opt.get("prune_threshold", 0.2) or 0.2
@@ -305,7 +361,8 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
                                      opt.get("proxy_ft_params") or {},
                                      key=key, mesh=mesh)
         else:
-            trainer = DartsTrainer(net, train_opt, key=key, mesh=mesh)
+            trainer = DartsTrainer(net, train_opt, key=key, mesh=mesh,
+                                   criterion=criterion, target_key=target_key)
 
         # resume if a training state exists (wired, unlike reference)
         state_dir = paths.get("training_state")
@@ -347,7 +404,8 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
         pipe = Pipeline(net_opt["architecture"],
                         use_proxy=bool(net_opt.get("use_proxy")))
         trainer = IspTrainer(pipe, train_opt, key=key, mesh=mesh,
-                             train_weights=bool(train_opt.get("train_weights")))
+                             train_weights=bool(train_opt.get("train_weights")),
+                             criterion=criterion, target_key=target_key)
         loader = create_loader(dataset, batch_size, shuffle_seed=seed)
         print_freq = (opt.get("logger") or {}).get("print_freq", 10)
         t0 = time.time()
