@@ -43,23 +43,29 @@ def measure_tpu() -> float:
     log(f"jax devices: {jax.devices()}")
     pipe = Pipeline(ARCH)
     state = pipe.init(jax.random.PRNGKey(0))
-    fwd = jax.jit(lambda s, x: pipe(s, x))
-    x = jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 1),
-                           jnp.float32, 0.02, 0.98)
+    # sum inside jit and fetch the scalar per iteration: the device tunnel
+    # memoizes identical dispatches AND reports block_until_ready
+    # optimistically, so honest timing needs (a) a distinct frame per
+    # iteration and (b) a true device->host value dependency.
+    fwd = jax.jit(lambda s, x: jnp.sum(pipe(s, x)))
+    iters = 8
+    frames = [jax.random.uniform(jax.random.PRNGKey(i), (1, H, W, 1),
+                                 jnp.float32, 0.02, 0.98)
+              for i in range(iters + 2)]
     t0 = time.perf_counter()
-    jax.block_until_ready(fwd(state, x))
+    float(fwd(state, frames[0]))
     log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
-    for _ in range(2):  # warmup
-        jax.block_until_ready(fwd(state, x))
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fwd(state, x)
-    jax.block_until_ready(y)
-    dt = time.perf_counter() - t0
-    mps = MP * iters / dt
-    log(f"tpu: {iters} iters in {dt:.3f}s -> {mps:.1f} MP/s "
-        f"({dt / iters * 1e3:.1f} ms / 12MP frame)")
+    float(fwd(state, frames[1]))  # drain
+    ts = []
+    for i in range(2, iters + 2):
+        t0 = time.perf_counter()
+        float(fwd(state, frames[i]))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    dt = ts[len(ts) // 2]
+    mps = MP / dt
+    log(f"tpu: median of {iters} -> {mps:.1f} MP/s "
+        f"({dt * 1e3:.1f} ms / 12MP frame)")
     return mps
 
 

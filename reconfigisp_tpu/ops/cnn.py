@@ -14,6 +14,8 @@ unused channels are zero so narrower ops are bit-identical.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +24,24 @@ from reconfigisp_tpu.ops.nn import (
 )
 
 MAX_PROXY_PARAMS = 5  # widest proxy is bm3d with 5 params (super_prune...py:46)
+
+# Fused Pallas fast path for the Path-Restore stacks on TPU:
+# "auto" = use when on TPU, unconditioned, and tile-divisible; "0" (default
+# until the Mosaic lane-alignment layout lands) disables; "1" forces.
+FUSED_PATH14 = os.environ.get("RECONFIGISP_FUSED", "0")
+_FUSE_TH, _FUSE_TW = 32, 512
+
+
+def _fused_ok(h: int, w: int, params) -> bool:
+    if FUSED_PATH14 == "0":
+        return False
+    if params is not None and params.shape[1] > 0:
+        return False  # conditioning channels not supported in the fused path
+    if h % _FUSE_TH or w % _FUSE_TW:
+        return False
+    if FUSED_PATH14 == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 # ------------------------------------------------------------------ SRCNN-Res
@@ -132,6 +152,10 @@ def init_path14_bayer(key, n_params: int = 0) -> dict:
 def apply_path14_bayer(weights, x, params=None):
     """x (N,H,W,1) Bayer -> (N,H,W,1) Bayer."""
     packed = bayer_to_rggb(x)
+    if _fused_ok(packed.shape[1], packed.shape[2], params):
+        from reconfigisp_tpu.ops.pallas_kernels import path14_fused_pallas
+        y = path14_fused_pallas(weights, packed, th=_FUSE_TH, tw=_FUSE_TW)
+        return pixel_shuffle(y, 2)
     if params is not None and params.shape[1] > 0:
         packed = jnp.concatenate(
             [packed, broadcast_params(params, *packed.shape[1:3])], axis=-1)
@@ -148,6 +172,10 @@ def apply_path14_bgr(weights, x, params=None):
     """x (N,H,W,3) BGR -> BGR.  The net itself runs in RGB order
     (reference path_14l_bgr_arch.py:64-65,84)."""
     rgb = x[..., ::-1]
+    if _fused_ok(rgb.shape[1], rgb.shape[2], params):
+        from reconfigisp_tpu.ops.pallas_kernels import path14_fused_pallas
+        y = path14_fused_pallas(weights, rgb, th=_FUSE_TH, tw=_FUSE_TW)
+        return y[..., ::-1]
     if params is not None and params.shape[1] > 0:
         rgb = jnp.concatenate(
             [rgb, broadcast_params(params, *rgb.shape[1:3])], axis=-1)

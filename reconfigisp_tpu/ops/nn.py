@@ -15,8 +15,17 @@ from jax import lax
 
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int = 1,
-           padding: str = "SAME") -> jnp.ndarray:
-    """2-D convolution, NHWC activations, HWIO weights, fp32 accumulation."""
+           padding: str = "SAME", compute_dtype=None) -> jnp.ndarray:
+    """2-D convolution, NHWC activations, HWIO weights, fp32 accumulation.
+
+    compute_dtype=None keeps f32 operands with the platform default
+    precision (bf16 single-pass on TPU), which is both the fast MXU path and
+    autodiff-safe; an explicit bf16 cast breaks lax conv VJPs (cotangents
+    stay f32) and measured no faster.  The fused Pallas stacks in
+    pallas_kernels.py own their bf16 internals instead."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     y = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),

@@ -1,0 +1,214 @@
+"""Pallas TPU kernels for the windowed denoise ops.
+
+The reference could only search these algorithms through CNN imitators
+(reference codes/models/modules/tools_origin.py:673-804); ops/denoise.py gives
+exact jnp implementations, but their 225-tap unrolls materialize large
+intermediates and compile slowly at 12 MP.  These kernels keep the whole
+window loop VMEM-resident: the image is processed in row strips DMA'd from
+HBM with a 7-pixel halo, channels stay interleaved on the lane axis (a
+W-shift by dx pixels is a lane shift by dx*C — no layout changes anywhere),
+and per-image parameters arrive via scalar prefetch.
+
+Layout: x (N, H, W, C) f32 -> internally (N, H+2R, (W+2R)*C) interleaved.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_R = 7  # window {3..15} -> radius {1..7} (reference tools_origin.py:698)
+
+
+def _bilateral_kernel(radius_ref, inv2sc2_ref, inv2ss2_ref,  # scalar prefetch
+                      x_hbm, out_ref, scratch, sem, *, th, w, c):
+    n_idx = pl.program_id(0)
+    s_idx = pl.program_id(1)
+    r = MAX_R
+
+    # DMA the strip + halo from HBM: rows [s_idx*th, s_idx*th + th + 2r)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[n_idx, pl.ds(s_idx * th, th + 2 * r), :],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+
+    radius = radius_ref[n_idx]
+    inv2sc2 = inv2sc2_ref[n_idx]
+    inv2ss2 = inv2ss2_ref[n_idx]
+
+    center = scratch[r:r + th, r * c:r * c + w * c]
+    num = jnp.zeros((th, w * c), jnp.float32)
+    den = jnp.zeros((th, w * c), jnp.float32)
+    for dy in range(-MAX_R, MAX_R + 1):
+        for dx in range(-MAX_R, MAX_R + 1):
+            tap = scratch[r + dy:r + dy + th,
+                          (r + dx) * c:(r + dx) * c + w * c]
+            chess = max(abs(dy), abs(dx))
+            include = (chess <= radius).astype(jnp.float32)
+            w_space = jnp.exp(-(dy * dy + dx * dx) * inv2ss2)
+            diff = tap - center
+            wgt = include * w_space * jnp.exp(-(diff * diff) * inv2sc2)
+            num += wgt * tap
+            den += wgt
+    out_ref[0, :, :] = num / den
+
+
+def bilateral_pallas(x: jnp.ndarray, params: jnp.ndarray,
+                     weights=None, *, strip: int = 64,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Bilateral filter, same semantics as ops/denoise.bilateral.
+
+    params (N, 3): [window01, sigma_color01, sigma_space01]; sigmas on the
+    0..255 scale (reference tools_origin.py:698-700)."""
+    n, h, w, c = x.shape
+    if h % strip:
+        strip = max(8, h // max(h // strip, 1))
+        while h % strip:
+            strip //= 2
+    n_strips = h // strip
+
+    radius = jnp.clip(jnp.floor(params[:, 0] * 7.0), 0, 6).astype(jnp.int32) + 1
+    sigma_color = 1.0 + 99.0 * params[:, 1]
+    sigma_space = 1.0 + 99.0 * params[:, 2]
+    inv2sc2 = 0.5 / (sigma_color * sigma_color)
+    inv2ss2 = 0.5 / (sigma_space * sigma_space)
+
+    x255 = x * 255.0
+    xp = jnp.pad(x255, ((0, 0), (MAX_R, MAX_R), (MAX_R, MAX_R), (0, 0)),
+                 mode="reflect")
+    flat = xp.reshape(n, h + 2 * MAX_R, (w + 2 * MAX_R) * c)
+
+    kernel = functools.partial(_bilateral_kernel, th=strip, w=w, c=c)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n, n_strips),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, strip, w * c),
+            lambda i, j, *prefetch: (i, j, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((strip + 2 * MAX_R, (w + 2 * MAX_R) * c), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w * c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(radius, inv2sc2, inv2ss2, flat)
+    return jnp.clip(out.reshape(n, h, w, c) / 255.0, 0.0, 1.0)
+
+
+# --------------------------------------------------------------------------
+# Fused Path-Restore-14L: the whole 14-conv residual stack over one VMEM tile
+# --------------------------------------------------------------------------
+
+def _conv3x3_valid(x, w, b):
+    """x (hh, ww, cin) bf16 -> (hh-2, ww-2, cout) f32; 9 shifted MXU dots."""
+    hh, ww, cin = x.shape
+    cout = w.shape[-1]
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            patch = x[dy:dy + hh - 2, dx:dx + ww - 2, :]
+            term = jax.lax.dot_general(
+                patch, w[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+    return acc + b
+
+
+_HALO = 13  # receptive-field halo of layers 2..14 (13 VALID 3x3 convs)
+
+
+def _path14_kernel(x_ref, *refs, th, tw, cout):
+    """refs = [w1, b1, ..., w13, b13, out_ref] (13 layers: conv_first runs
+    outside the kernel).  Blocks are pipeline-managed (Mosaic relayouts the
+    64-lane minor dim itself; manual DMA would demand 128-lane alignment)."""
+    out_ref = refs[26]
+
+    def wref(k):  # k in [0, 13)
+        return (refs[2 * k][...].astype(jnp.bfloat16), refs[2 * k + 1][...])
+
+    y = x_ref[0, 0, :, 0, :, :]  # (th+2H, tw+2H, 64) bf16
+    # layers 2..13: six residual blocks (reference path_14l_bayer_arch.py:41-43)
+    for blk in range(6):
+        w1, b1 = wref(2 * blk)
+        w2, b2 = wref(2 * blk + 1)
+        t = _conv3x3_valid(jnp.maximum(y, 0), w1, b1).astype(jnp.bfloat16)
+        t = _conv3x3_valid(jnp.maximum(t, 0), w2, b2).astype(jnp.bfloat16)
+        y = y[2:-2, 2:-2, :] + t            # residual, cropped to match
+    # layer 14: relu + conv_last
+    w, b = wref(12)
+    out = _conv3x3_valid(jnp.maximum(y, 0), w, b)  # (th, tw, cout) f32
+    out_ref[0, 0, :, 0, :, :] = out
+
+
+def path14_fused_pallas(weights: dict, feat: jnp.ndarray, *,
+                        th: int = 64, tw: int = 512,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused Path-Restore-14L forward (see ops/cnn.py for the layer list).
+
+    The unfused XLA version round-trips ~400 MB of activations through HBM
+    per layer (~16 ms/layer at 12 MP on v5e).  Here conv_first runs as a
+    normal XLA conv; its output is cut into overlapping (th+26, tw+26) bf16
+    tiles in XLA (one gather, ~1.6x duplication), and each tile then flows
+    through the remaining 13 convolutions entirely in VMEM as 9-offset
+    shifted MXU dots per layer — the activation stack never touches HBM.
+    In/out arrays are 6D (N, n_i, th, n_j, tw, C) so tile reassembly is a
+    free reshape.  Numerics: activations stay bf16 between layers (the XLA
+    path keeps f32), so outputs agree within bf16 accumulation tolerance
+    (~3e-3 interior); a 13-pixel border ring differs further because the
+    reference zero-pads every layer (torch Conv2d padding=1) while this
+    kernel zero-pads conv_first's output once.
+    """
+    from reconfigisp_tpu.ops.nn import conv2d
+
+    n, h, w, cin = feat.shape
+    cout = weights["conv_last"]["w"].shape[-1]
+    assert h % th == 0 and w % tw == 0, (h, w, th, tw)
+    n_i, n_j = h // th, w // tw
+
+    y1 = conv2d(feat, **weights["conv_first"])          # (N, h, w, 64) f32
+    xp = jnp.pad(y1, ((0, 0), (_HALO, _HALO), (_HALO, _HALO), (0, 0)))
+    xp = xp.astype(jnp.bfloat16)
+    # overlapping tiles: (N, n_i, th+2H, n_j, tw+2H, 64)
+    rows = jnp.stack([xp[:, i * th:i * th + th + 2 * _HALO]
+                      for i in range(n_i)], axis=1)
+    tiles = jnp.stack([rows[:, :, :, j * tw:j * tw + tw + 2 * _HALO]
+                       for j in range(n_j)], axis=3)
+
+    layers = []
+    for blk in weights["blocks"]:
+        layers += [blk["conv1"], blk["conv2"]]
+    layers += [weights["conv_last"]]
+    flat = []
+    for l in layers:
+        flat += [l["w"], l["b"]]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+
+    kernel = functools.partial(_path14_kernel, th=th, tw=tw, cout=cout)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n_i, th, n_j, tw, cout),
+                                       jnp.float32),
+        grid=(n, n_i, n_j),
+        in_specs=[pl.BlockSpec(
+            (1, 1, th + 2 * _HALO, 1, tw + 2 * _HALO, 64),
+            lambda ni, i, j: (ni, i, 0, j, 0, 0),
+            memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, th, 1, tw, cout), lambda ni, i, j: (ni, i, 0, j, 0, 0),
+            memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tiles, *flat)
+    return out.reshape(n, h, w, cout)
