@@ -318,6 +318,12 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
     name = opt.get("name", "run")
     paths = opt.get("path") or {}
     log_dir = paths.get("log")
+    # fresh runs archive an existing experiment dir (reference train.py:85-90,
+    # util.py:59-66); resume=true (default) continues in place instead.
+    resume = opt["train"].get("resume", True) if opt.get("train") else True
+    if not resume and paths.get("experiments_root"):
+        from reconfigisp_tpu.utils.imaging import mkdir_and_rename
+        mkdir_and_rename(paths["experiments_root"])
     logger = setup_logger("base", log_dir, f"train_{name}")
     metrics = MetricsLogger(log_dir, use_tb=bool(opt.get("use_tb_logger")))
 
@@ -366,7 +372,7 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
 
         # resume if a training state exists (wired, unlike reference)
         state_dir = paths.get("training_state")
-        if state_dir:
+        if resume and state_dir:
             latest = checkpoint.latest_state(state_dir)
             if latest:
                 epoch = trainer.resume(latest)
@@ -390,7 +396,12 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
                 logger.info(
                     f"iter {trainer.step_idx:8,d} loss {logs['loss']:.4e} "
                     f"val {logs['val_loss']:.4e} ({dt:.3f}s/iter)")
-                metrics.scalars(trainer.step_idx, logs)
+                # per-slot alpha distributions (reference train.py:279-283)
+                alpha_logs = {}
+                for slot, arr in trainer.variables["alphas"].items():
+                    for m, a in enumerate(np.asarray(arr)):
+                        alpha_logs[f"alpha_{slot}/m_{m + 1}"] = float(a)
+                metrics.scalars(trainer.step_idx, {**logs, **alpha_logs})
                 t0 = time.time()
             if save_freq and trainer.step_idx % int(save_freq) == 0 \
                     and paths.get("models"):

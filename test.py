@@ -34,7 +34,8 @@ def main():
     from reconfigisp_tpu.pipeline import Pipeline
     from reconfigisp_tpu.data import create_dataset
     from reconfigisp_tpu.utils import checkpoint
-    from reconfigisp_tpu.utils.metrics import psnr as psnr_fn
+    from reconfigisp_tpu.utils.metrics import psnr as psnr_fn, ssim as ssim_fn
+    from reconfigisp_tpu.utils.imaging import tensor2bgr
     from reconfigisp_tpu.utils.logging_utils import setup_logger
 
     opt = config.parse(args.opt, is_train=False)
@@ -65,33 +66,95 @@ def main():
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
-    fwd = jax.jit(lambda s, x: pipe(s, x))
-    psnrs = []
+    is_yolo = "yolo" in (opt["model"] or "")
+    if is_yolo:
+        from reconfigisp_tpu.search.trainer import build_yolo_evaluator
+        from reconfigisp_tpu.yolo.net import apply_yolo
+        from reconfigisp_tpu.yolo.loss import decode_head
+        from reconfigisp_tpu.yolo import metrics as ymetrics
+        img_size = ds_opt.get("data_size", 64) or 64
+        blocks, yweights = build_yolo_evaluator(opt["yolo"], img_size)
+        all_dets, all_gts, all_tcls = [], [], []
+
+    save_strips = bool(ds_opt.get("save_strips", True))
+    fwd = jax.jit(lambda s, x: pipe(s, x, return_intermediates=True))
+    psnrs, ssims = [], []
     n = len(dataset) if args.max_images is None \
         else min(args.max_images, len(dataset))
     for i in range(n):
         sample = dataset[i]
         x = jnp.asarray(sample["noisy"])[None]
+        mids = None
         if split:
             y = tiled_apply(lambda xx: pipe(state, xx), x,
                             patch=patch, stride=stride)
         else:
-            y = fwd(state, x)
+            y, mids, _ = fwd(state, x)
         gt = sample.get("gt")
-        if gt is not None:
+        if gt is not None and not is_yolo:
             p = float(psnr_fn(y, jnp.asarray(gt)[None])[0])
+            s = float(ssim_fn(y, jnp.asarray(gt)[None])[0])
             psnrs.append(p)
-            logger.info(f"[{i}] psnr {p:.3f}")
+            ssims.append(s)
+            logger.info(f"[{i}] psnr {p:.3f} ssim {s:.4f}")
+        if is_yolo:
+            heads = apply_yolo(yweights, blocks, y[..., ::-1])
+            boxes, confs, clss = [], [], []
+            for head, anchors, _ in heads:
+                b, cf, cl = decode_head(head, anchors, img_size)
+                boxes.append(np.asarray(b[0]).reshape(-1, 4))
+                confs.append(np.asarray(cf[0]).reshape(-1))
+                clss.append(np.asarray(cl[0]).reshape(-1, cl.shape[-1]))
+            dets = ymetrics.non_max_suppression(
+                np.concatenate(boxes), np.concatenate(confs),
+                np.concatenate(clss),
+                conf_thres=ds_opt.get("conf_thres", 0.5) or 0.5)
+            lab = sample["label"]
+            valid = lab[lab[:, 0] > 0.5]
+            gtb = np.zeros((len(valid), 5), np.float32)
+            gtb[:, 0] = valid[:, 1]
+            gtb[:, 1] = (valid[:, 2] - valid[:, 4] / 2) * img_size
+            gtb[:, 2] = (valid[:, 3] - valid[:, 5] / 2) * img_size
+            gtb[:, 3] = (valid[:, 2] + valid[:, 4] / 2) * img_size
+            gtb[:, 4] = (valid[:, 3] + valid[:, 5] / 2) * img_size
+            all_dets.append(dets)
+            all_gts.append(gtb)
+            all_tcls.extend(valid[:, 1].tolist())
         if out_dir:
             import cv2
-            img = np.clip(np.asarray(y[0]) * 255.0, 0, 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(out_dir, f"{i:04d}.png"), img)
+            if save_strips and mids is not None and gt is not None:
+                # input | intermediates | GT strip (reference test.py:74-99)
+                in3 = np.repeat(np.asarray(x[0]), 3, axis=2) \
+                    if x.shape[-1] == 1 else np.asarray(x[0])
+                pieces = [in3] + [
+                    np.repeat(np.asarray(m[0]), 3, axis=2)
+                    if m.shape[-1] == 1 else np.asarray(m[0])
+                    for m in mids] + [np.asarray(gt)]
+                strip = np.concatenate(pieces, axis=1)
+                cv2.imwrite(os.path.join(out_dir, f"{i:04d}_strip.png"),
+                            tensor2bgr(strip))
+            cv2.imwrite(os.path.join(out_dir, f"{i:04d}.png"),
+                        tensor2bgr(np.asarray(y[0])))
     if psnrs:
         arr = np.asarray(psnrs)
         # min/max/mean/std summary (reference test.py:101-107)
         logger.info(f"PSNR min {arr.min():.3f} max {arr.max():.3f} "
                     f"mean {arr.mean():.3f} std {arr.std():.3f}")
+        logger.info(f"SSIM mean {np.mean(ssims):.4f}")
         print(f"psnr_mean={arr.mean():.4f}")
+    if is_yolo:
+        stats = ymetrics.get_batch_statistics(all_dets, all_gts)
+        if stats:
+            out = ymetrics.ap_per_class(
+                np.concatenate([s[0] for s in stats]),
+                np.concatenate([s[1] for s in stats]),
+                np.concatenate([s[2] for s in stats]), all_tcls)
+            logger.info(f"mAP {out['mAP']:.4f} P {out['precision'].mean():.3f} "
+                        f"R {out['recall'].mean():.3f}")
+            print(f"map={out['mAP']:.4f}")
+        else:
+            logger.info("no detections above threshold")
+            print("map=0.0")
     return 0
 
 
