@@ -130,27 +130,40 @@ def _conv3x3_valid(x, w, b):
 _HALO = 13  # receptive-field halo of layers 2..14 (13 VALID 3x3 convs)
 
 
-def _path14_kernel(x_ref, *refs, th, tw, cout):
-    """refs = [w1, b1, ..., w13, b13, out_ref] (13 layers: conv_first runs
-    outside the kernel).  Blocks are pipeline-managed (Mosaic relayouts the
-    64-lane minor dim itself; manual DMA would demand 128-lane alignment)."""
-    out_ref = refs[26]
+def _conv3x3_same(x, w, b):
+    """Constant-shape 3x3 conv (zero edge): the tile keeps its full
+    (th+2H, tw+2H) extent every layer so the residual loop can be a
+    lax.fori_loop; edge garbage creeps inward 1 px/layer and the final
+    _HALO-wide crop discards it (mathematically identical to VALID chaining
+    on the kept interior)."""
+    hh, ww, cin = x.shape
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    return _conv3x3_valid(xp, w, b)
 
-    def wref(k):  # k in [0, 13)
-        return (refs[2 * k][...].astype(jnp.bfloat16), refs[2 * k + 1][...])
 
-    y = x_ref[0, 0, :, 0, :, :]  # (th+2H, tw+2H, 64) bf16
-    # layers 2..13: six residual blocks (reference path_14l_bayer_arch.py:41-43)
-    for blk in range(6):
-        w1, b1 = wref(2 * blk)
-        w2, b2 = wref(2 * blk + 1)
-        t = _conv3x3_valid(jnp.maximum(y, 0), w1, b1).astype(jnp.bfloat16)
-        t = _conv3x3_valid(jnp.maximum(t, 0), w2, b2).astype(jnp.bfloat16)
-        y = y[2:-2, 2:-2, :] + t            # residual, cropped to match
-    # layer 14: relu + conv_last
-    w, b = wref(12)
-    out = _conv3x3_valid(jnp.maximum(y, 0), w, b)  # (th, tw, cout) f32
-    out_ref[0, 0, :, 0, :, :] = out
+def _path14_kernel(x_ref, wmid_ref, bmid_ref, wlast_ref, blast_ref,
+                   out_ref, *, th, tw, cout):
+    """Blocks are pipeline-managed (Mosaic relayouts the 64-lane minor dim
+    itself; manual DMA would demand 128-lane alignment).  The 12 mid-layer
+    weights are stacked (12, 3, 3, 64, 64) and the residual blocks run as a
+    fori_loop — compile-friendly (a fully unrolled 13-layer body took >30 min
+    through the remote Mosaic compiler)."""
+    y0 = x_ref[0, 0, :, 0, :, :]  # (th+2H, tw+2H, 64) bf16
+
+    def block(k, y):
+        # dynamic indexing on the VMEM refs (dynamic_slice on loaded values
+        # is unimplemented in the Mosaic lowering)
+        w1 = wmid_ref[2 * k].astype(jnp.bfloat16)
+        w2 = wmid_ref[2 * k + 1].astype(jnp.bfloat16)
+        t = _conv3x3_same(jnp.maximum(y, 0), w1, bmid_ref[2 * k])
+        t = t.astype(jnp.bfloat16)
+        t = _conv3x3_same(jnp.maximum(t, 0), w2, bmid_ref[2 * k + 1])
+        return y + t.astype(jnp.bfloat16)
+
+    y = jax.lax.fori_loop(0, 6, block, y0)
+    out = _conv3x3_same(jnp.maximum(y, 0),
+                        wlast_ref[...].astype(jnp.bfloat16), blast_ref[...])
+    out_ref[0, 0, :, 0, :, :] = out[_HALO:_HALO + th, _HALO:_HALO + tw, :]
 
 
 def path14_fused_pallas(weights: dict, feat: jnp.ndarray, *,
@@ -187,14 +200,14 @@ def path14_fused_pallas(weights: dict, feat: jnp.ndarray, *,
     tiles = jnp.stack([rows[:, :, :, j * tw:j * tw + tw + 2 * _HALO]
                        for j in range(n_j)], axis=3)
 
-    layers = []
+    mids = []
     for blk in weights["blocks"]:
-        layers += [blk["conv1"], blk["conv2"]]
-    layers += [weights["conv_last"]]
-    flat = []
-    for l in layers:
-        flat += [l["w"], l["b"]]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+        mids += [blk["conv1"], blk["conv2"]]
+    wmid = jnp.stack([l["w"] for l in mids])     # (12, 3, 3, 64, 64)
+    bmid = jnp.stack([l["b"] for l in mids])     # (12, 64)
+    wlast = weights["conv_last"]["w"]
+    blast = weights["conv_last"]["b"]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
 
     kernel = functools.partial(_path14_kernel, th=th, tw=tw, cout=cout)
     out = pl.pallas_call(
@@ -210,5 +223,5 @@ def path14_fused_pallas(weights: dict, feat: jnp.ndarray, *,
             (1, 1, th, 1, tw, cout), lambda ni, i, j: (ni, i, 0, j, 0, 0),
             memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tiles, *flat)
+    )(tiles, wmid, bmid, wlast, blast)
     return out.reshape(n, h, w, cout)

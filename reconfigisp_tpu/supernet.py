@@ -87,10 +87,25 @@ class SuperNet:
 
     # ---------------------------------------------------------------- forward
 
-    def __call__(self, variables, x, *, return_aux: bool = False):
+    def _bankable(self, spec) -> bool:
+        """sRGB SRCNN-Res proxies share one architecture (padded to
+        MAX_PROXY_PARAMS conditioning channels, ops/cnn.py), so all proxies a
+        slot evaluates can run as ONE vmapped conv stack — K small convs
+        become one batched MXU program."""
+        if spec.domain != "srgb":
+            return False
+        if spec.proxy_only:
+            return True
+        return self.use_proxies and spec.proxy_apply is not None \
+            and spec.ft_target
+
+    def __call__(self, variables, x, *, return_aux: bool = False,
+                 fuse_banks: bool = True):
         """x (N,H,W,1) Bayer -> (N,H,W,3) BGR.
 
         With return_aux: (y, {"intermediates", "latency", "pruned"})."""
+        from reconfigisp_tpu.ops import cnn as cnn_mod
+
         n = x.shape[0]
         mids = []
         latency = jnp.asarray(0.0, jnp.float32)
@@ -103,15 +118,34 @@ class SuperNet:
             post = jnp.where(keep, probs, 0.0)
             post = post / lax.stop_gradient(jnp.sum(post))
 
+            bank = [i for i, s in enumerate(ops)
+                    if fuse_banks and self._bankable(s)]
             y = jnp.zeros((n, x.shape[1], x.shape[2],
                            1 if ops[0].domain == "bayer" else 3), x.dtype)
             lat_slot = jnp.asarray(0.0, jnp.float32)
             for i, spec in enumerate(ops):
+                lat_slot = lat_slot + post[i] * spec.latency
+                if i in bank and len(bank) >= 2:
+                    continue
                 params = self._params_for(variables, slot_name, spec, n, x.dtype)
                 weights = variables["omega"].get(spec.name)
                 out = spec.get_apply(self.use_proxies)(x, params, weights)
                 y = y + post[i] * out
-                lat_slot = lat_slot + post[i] * spec.latency
+            if len(bank) >= 2:
+                wstack = jax.tree.map(
+                    lambda *ws: jnp.stack(ws),
+                    *[variables["omega"][ops[i].name] for i in bank])
+                pstack = jnp.stack([
+                    jnp.pad(self._params_for(variables, slot_name, ops[i],
+                                             n, x.dtype),
+                            ((0, 0), (0, cnn_mod.MAX_PROXY_PARAMS -
+                                      ops[i].n_params)))
+                    for i in bank])  # (K, N, 5)
+                outs = jax.vmap(
+                    lambda w_, p_: cnn_mod.apply_srcnn_res(w_, x, p_)
+                )(wstack, pstack)  # (K, N, H, W, 3)
+                y = y + jnp.einsum("k,knhwc->nhwc", post[jnp.asarray(bank)],
+                                   outs, preferred_element_type=jnp.float32)
             latency = latency + lat_slot
             pruned.append(jnp.sum(~keep))
             mids.append(y)

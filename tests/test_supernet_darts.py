@@ -159,3 +159,26 @@ class TestDartsStep:
         v2, _, _ = step(v, opt, batch, 0.0)
         for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
             np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+class TestProxyBankFusion:
+    def test_fused_matches_unfused(self, key, rng):
+        """The vmapped SRCNN proxy bank must be numerically identical to
+        per-op application (zero-padded conditioning channels)."""
+        net = SuperNet(n_step=1, threshold=0.2, use_proxies=True,
+                       srgb_count=15)
+        v = net.init(key)
+        x = jnp.asarray(rng.uniform(0.1, 0.9, (2, 16, 16, 1)).astype(np.float32))
+        a = net(v, x, fuse_banks=True)
+        b = net(v, x, fuse_banks=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_bank_of_one_falls_back(self, key, rng):
+        """A slot with a single bankable proxy must skip fusion and match."""
+        net = SuperNet(n_step=1, threshold=0.2, use_proxies=True,
+                       srgb_count=2)  # gamma (native) + reinhard (proxy)
+        v = net.init(key)
+        x = jnp.asarray(rng.uniform(0.1, 0.9, (1, 16, 16, 1)).astype(np.float32))
+        a = net(v, x, fuse_banks=True)
+        b = net(v, x, fuse_banks=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
