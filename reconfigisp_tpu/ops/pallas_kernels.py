@@ -21,18 +21,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_R = 7  # window {3..15} -> radius {1..7} (reference tools_origin.py:698)
+MAX_R = 7   # window {3..15} -> radius {1..7} (reference tools_origin.py:698)
+_ROW_H = 8  # row halo padded to 8 (Mosaic: DMA row-slice sizes need
+            # 8-alignment; 7 would make strip+14 rows)
 
 
 def _bilateral_kernel(radius_ref, inv2sc2_ref, inv2ss2_ref,  # scalar prefetch
-                      x_hbm, out_ref, scratch, sem, *, th, w, c):
+                      x_hbm, out_ref, scratch, sem, *, th, w, c, cp):
     n_idx = pl.program_id(0)
     s_idx = pl.program_id(1)
-    r = MAX_R
 
-    # DMA the strip + halo from HBM: rows [s_idx*th, s_idx*th + th + 2r)
+    # DMA the strip + halo from HBM: rows [s_idx*th, s_idx*th + th + 16)
     dma = pltpu.make_async_copy(
-        x_hbm.at[n_idx, pl.ds(s_idx * th, th + 2 * r), :],
+        x_hbm.at[n_idx, pl.ds(s_idx * th, th + 2 * _ROW_H), :],
         scratch, sem)
     dma.start()
     dma.wait()
@@ -41,21 +42,43 @@ def _bilateral_kernel(radius_ref, inv2sc2_ref, inv2ss2_ref,  # scalar prefetch
     inv2sc2 = inv2sc2_ref[n_idx]
     inv2ss2 = inv2ss2_ref[n_idx]
 
-    center = scratch[r:r + th, r * c:r * c + w * c]
-    num = jnp.zeros((th, w * c), jnp.float32)
-    den = jnp.zeros((th, w * c), jnp.float32)
+    center = scratch[_ROW_H:_ROW_H + th, cp * c:cp * c + w * c]
+
+    # Row offsets (sublanes) are unrolled statically — dynamic sublane slices
+    # must be 8-aligned, which +-7 offsets are not.  Column taps come from a
+    # fori_loop over dx with a dynamic lane roll (a fully unrolled 225-tap
+    # loop spilled ~139 MB of registers to VMEM).
+    zeros = jnp.zeros((th, w * c), jnp.float32)
+    num, den = zeros, zeros
     for dy in range(-MAX_R, MAX_R + 1):
-        for dx in range(-MAX_R, MAX_R + 1):
-            tap = scratch[r + dy:r + dy + th,
-                          (r + dx) * c:(r + dx) * c + w * c]
-            chess = max(abs(dy), abs(dx))
+        slab = scratch[_ROW_H + dy:_ROW_H + dy + th, :]
+        dy2 = float(dy * dy)
+        ady = abs(dy)
+
+        def body(j, carry, slab=slab, dy2=dy2, ady=ady):
+            num, den = carry
+            dx = j - MAX_R
+            shifted = pltpu.roll(slab, -dx * c, axis=1)
+            tap = shifted[:, cp * c:cp * c + w * c]
+            chess = jnp.maximum(ady, jnp.abs(dx))
             include = (chess <= radius).astype(jnp.float32)
-            w_space = jnp.exp(-(dy * dy + dx * dx) * inv2ss2)
+            w_space = jnp.exp(-(dy2 + (dx * dx).astype(jnp.float32))
+                              * inv2ss2)
             diff = tap - center
             wgt = include * w_space * jnp.exp(-(diff * diff) * inv2sc2)
-            num += wgt * tap
-            den += wgt
+            return num + wgt * tap, den + wgt
+
+        num, den = jax.lax.fori_loop(0, 2 * MAX_R + 1, body, (num, den))
     out_ref[0, :, :] = num / den
+
+
+def _col_pad(w: int, c: int) -> int:
+    """Smallest p >= MAX_R with (w + 2p) * c a multiple of 128 (Mosaic: DMA
+    lane extents must be 128-aligned, even for full-dimension slices)."""
+    p = MAX_R
+    while ((w + 2 * p) * c) % 128:
+        p += 1
+    return p
 
 
 def bilateral_pallas(x: jnp.ndarray, params: jnp.ndarray,
@@ -64,13 +87,16 @@ def bilateral_pallas(x: jnp.ndarray, params: jnp.ndarray,
     """Bilateral filter, same semantics as ops/denoise.bilateral.
 
     params (N, 3): [window01, sigma_color01, sigma_space01]; sigmas on the
-    0..255 scale (reference tools_origin.py:698-700)."""
+    0..255 scale (reference tools_origin.py:698-700).  Requires w*c to be a
+    multiple of 128 on real TPU (output lane alignment); callers fall back to
+    the jnp implementation otherwise."""
     n, h, w, c = x.shape
     if h % strip:
         strip = max(8, h // max(h // strip, 1))
         while h % strip:
             strip //= 2
     n_strips = h // strip
+    cp = _col_pad(w, c)
 
     radius = jnp.clip(jnp.floor(params[:, 0] * 7.0), 0, 6).astype(jnp.int32) + 1
     sigma_color = 1.0 + 99.0 * params[:, 1]
@@ -79,11 +105,11 @@ def bilateral_pallas(x: jnp.ndarray, params: jnp.ndarray,
     inv2ss2 = 0.5 / (sigma_space * sigma_space)
 
     x255 = x * 255.0
-    xp = jnp.pad(x255, ((0, 0), (MAX_R, MAX_R), (MAX_R, MAX_R), (0, 0)),
+    xp = jnp.pad(x255, ((0, 0), (_ROW_H, _ROW_H), (cp, cp), (0, 0)),
                  mode="reflect")
-    flat = xp.reshape(n, h + 2 * MAX_R, (w + 2 * MAX_R) * c)
+    flat = xp.reshape(n, h + 2 * _ROW_H, (w + 2 * cp) * c)
 
-    kernel = functools.partial(_bilateral_kernel, th=strip, w=w, c=c)
+    kernel = functools.partial(_bilateral_kernel, th=strip, w=w, c=c, cp=cp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n, n_strips),
@@ -93,7 +119,8 @@ def bilateral_pallas(x: jnp.ndarray, params: jnp.ndarray,
             lambda i, j, *prefetch: (i, j, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((strip + 2 * MAX_R, (w + 2 * MAX_R) * c), jnp.float32),
+            pltpu.VMEM((strip + 2 * _ROW_H, (w + 2 * cp) * c),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
