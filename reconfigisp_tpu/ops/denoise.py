@@ -134,3 +134,126 @@ def fastnlm(x, params, weights=None):
 
     out = lax.switch(block_idx, [lambda r=r: run(r) for r in range(1, 8)])
     return jnp.clip(out / 255.0, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# BM3D stand-in: sliding-window transform-domain hard-threshold denoiser.
+# ---------------------------------------------------------------------------
+# The reference never runs real BM3D in-line either (MATLAB-bound,
+# origin_universal.py:11-13) — it ships a proxy CNN pretrained against it.
+# This gives our BM3D proxy a native training target with the same parameter
+# surface (5 params, super_prune...py:46,138-139): blockwise 2D DCT/WHT,
+# hard-threshold the AC coefficients, sparsity-weighted overlap-add over 4
+# half-block-shifted covers.  All transforms are b x b matmuls -> MXU work.
+
+def _dct_matrix(b: int):
+    k = jnp.arange(b, dtype=jnp.float32)
+    mat = jnp.sqrt(2.0 / b) * jnp.cos(
+        jnp.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * b))
+    return mat.at[0].multiply(1.0 / jnp.sqrt(2.0))
+
+
+def _wht_matrix(b: int):
+    """Normalized Walsh-Hadamard (b must be a power of 2)."""
+    h = jnp.asarray([[1.0]], jnp.float32)
+    while h.shape[0] < b:
+        h = jnp.block([[h, h], [h, -h]])
+    return h / jnp.sqrt(float(b))
+
+
+# opponent color transform used by BM3D for RGB inputs, and its inverse
+_OPP = jnp.asarray([[1 / 3, 1 / 3, 1 / 3],
+                    [0.5, 0.0, -0.5],
+                    [0.25, -0.5, 0.25]], jnp.float32)
+_OPP_INV = jnp.asarray([[1.0, 1.0, 2 / 3],
+                        [1.0, 0.0, -4 / 3],
+                        [1.0, -1.0, 2 / 3]], jnp.float32)
+_EYE3 = jnp.eye(3, dtype=jnp.float32)
+
+
+def _dct_denoise_fixed(x, thr, tmat, sparse_w, b: int):
+    """x (N,H,W,C) 0..255; thr (N,1,1,1,1,1); tmat (N,b,b); sparse_w (N,) in
+    {0,1} selecting sparsity-weighted vs uniform aggregation."""
+    n, h, w, c = x.shape
+    h2 = b // 2
+    hp = -(-(h + b) // b) * b
+    wp = -(-(w + b) // b) * b
+    xp = jnp.pad(x, ((0, 0), (h2, hp - h - h2), (h2, wp - w - h2), (0, 0)),
+                 mode="reflect")
+    num = jnp.zeros_like(xp)
+    den = jnp.zeros_like(xp)
+    hb, wb = hp - b, wp - b
+    tmat_t = jnp.swapaxes(tmat, 1, 2)
+    for oy in (0, h2):
+        for ox in (0, h2):
+            view = xp[:, h2 - oy:h2 - oy + hb, h2 - ox:h2 - ox + wb, :]
+            blocks = view.reshape(n, hb // b, b, wb // b, b, c)
+            # 2D transform: T @ block @ T^T over the two b-axes, per image
+            coef = jnp.einsum("nvu,niujbc->nivjbc", tmat, blocks,
+                              preferred_element_type=jnp.float32)
+            coef = jnp.einsum("nvu,niajuc->niajvc", tmat, coef,
+                              preferred_element_type=jnp.float32)
+            keep = jnp.abs(coef) > thr
+            # always retain the DC coefficient (block mean)
+            dc = jnp.zeros((b, b), bool).at[0, 0].set(True)
+            keep = keep | dc[None, None, :, None, :, None]
+            coef_t = jnp.where(keep, coef, 0.0)
+            nkept = jnp.sum(keep.astype(jnp.float32), axis=(2, 4),
+                            keepdims=True)
+            wgt = jnp.where(sparse_w[:, None, None, None, None, None] > 0.5,
+                            1.0 / (1.0 + nkept), jnp.ones_like(nkept))
+            rec = jnp.einsum("nvu,niujbc->nivjbc", tmat_t, coef_t,
+                             preferred_element_type=jnp.float32)
+            rec = jnp.einsum("nvu,niajuc->niajvc", tmat_t, rec,
+                             preferred_element_type=jnp.float32)
+            wfull = jnp.broadcast_to(
+                wgt, (n, hb // b, b, wb // b, b, c)).reshape(n, hb, wb, c)
+            rec = (rec * wgt).reshape(n, hb, wb, c)
+            num = num.at[:, h2 - oy:h2 - oy + hb,
+                         h2 - ox:h2 - ox + wb, :].add(rec)
+            den = den.at[:, h2 - oy:h2 - oy + hb,
+                         h2 - ox:h2 - ox + wb, :].add(wfull)
+    out = num / jnp.clip(den, 1e-8, None)
+    return out[:, h2:h2 + h, h2:h2 + w, :]
+
+
+def dct_denoise(x, params, weights=None):
+    """Transform-domain hard-threshold denoiser: the native target for the
+    BM3D proxy (params mirror super_prune...py:46's 5-vector).
+
+    params (N, 5): [cff01, n101, cspace01, wtransform01, neighborhood01]
+      cff01          -> hard threshold = 1 + 99*cff01 (0..255 scale)
+      n101           -> block size 4 (<0.5) or 8 (batch-uniform, lax.switch)
+      cspace01       -> >=0.5: denoise in the opponent color space
+      wtransform01   -> >=0.5: WHT transform + sparsity-weighted aggregation;
+                        else DCT + uniform aggregation
+      neighborhood01 -> blend strength: out = lerp(x, denoised, blend)
+    """
+    n, h, w, c = x.shape
+    thr = (1.0 + 99.0 * params[:, 0]).reshape(n, 1, 1, 1, 1, 1)
+    use_opp = (params[:, 2] >= 0.5) & (c == 3)
+    use_wht = params[:, 3] >= 0.5
+    blend = params[:, 4][:, None, None, None]
+    x255 = x * 255.0
+
+    if c == 3:
+        cmat = jnp.where(use_opp[:, None, None], _OPP[None], _EYE3[None])
+        cinv = jnp.where(use_opp[:, None, None], _OPP_INV[None], _EYE3[None])
+        # input is BGR; the opponent transform is defined over RGB
+        xc = jnp.einsum("nij,nhwj->nhwi", cmat, x255[..., ::-1],
+                        preferred_element_type=jnp.float32)
+    else:
+        xc = x255
+
+    def run(b):
+        tm = jnp.where(use_wht[:, None, None], _wht_matrix(b)[None],
+                       _dct_matrix(b)[None])
+        return _dct_denoise_fixed(xc, thr, tm, use_wht.astype(jnp.float32), b)
+
+    den = lax.switch((params[0, 1] >= 0.5).astype(jnp.int32),
+                     [lambda: run(4), lambda: run(8)])
+    if c == 3:
+        den = jnp.einsum("nij,nhwj->nhwi", cinv, den,
+                         preferred_element_type=jnp.float32)[..., ::-1]
+    out = x255 + blend * (den - x255)
+    return jnp.clip(out / 255.0, 0.0, 1.0)

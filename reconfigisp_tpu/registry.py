@@ -56,10 +56,20 @@ class OpSpec:
     conditional: bool = False        # raw flat params, no sigmoid/repeat
     init_params: Optional[Callable] = None    # key -> logits (conditional ops)
     ft_target: bool = False          # eligible for online proxy tuning
+    ft_target_apply: Optional[Callable] = None  # proxy-training target when
+                                                # it differs from `apply`
+                                                # (BM3D: native DCT stand-in)
 
     @property
     def proxy_only(self) -> bool:
         return self.apply is None
+
+    def ft_target_fn(self) -> Optional[Callable]:
+        """The function the proxy imitates during pretraining / online tuning
+        (reference trains proxies against the original algorithms,
+        darts_ft_model.py:221-240)."""
+        return self.ft_target_apply if self.ft_target_apply is not None \
+            else self.apply
 
     def get_apply(self, use_proxy: bool) -> Callable:
         if use_proxy or self.apply is None:
@@ -175,7 +185,11 @@ def _build_registry():
     add_srgb(14, "gtmmanual", 3, (-1.099, 0., 1.099), tone.gtm_manual)
     # BM3D: proxy-only, 5 params (cff, n1, cspace, wtransform, neighborhood);
     # init logits sigmoid to the probabilities noted at super_prune...py:138-139.
-    add_srgb(15, "bm3d", 5, (-1.946, 1.099, -1.099, -1.099, 2.708), None)
+    # The proxy trains against the native transform-domain denoiser
+    # (ops/denoise.dct_denoise) — the reference instead shipped an externally
+    # pretrained checkpoint (super_prune...py:46).
+    add_srgb(15, "bm3d", 5, (-1.946, 1.099, -1.099, -1.099, 2.708), None,
+             ft=True, ft_target_apply=denoise.dct_denoise)
 
     # conditional ops (reference isp_universal.py:89-91, 16-18)
     for idx, (name, n_glob, base) in enumerate([

@@ -71,6 +71,11 @@ def make_darts_step(forward: Callable, criterion: Callable,
     """Build the fused search step.
 
     :param forward: forward(theta, alphas, omega, img) -> (pred, latency)
+        or (pred, latency, mids).  A 3-tuple exposes auxiliary tensors (e.g.
+        the supernet's 3-channel intermediates) from the final training pass
+        as logs["_mids"], letting proxy tuning reuse the training forward
+        instead of paying a separate one (the reference reuses the pass's
+        intermediate_results the same way, darts_ft_model.py:194-201).
     :param criterion: criterion(pred, target, latency=None) -> scalar loss
     :param axis_name: if set, gradients are jax.lax.pmean'ed over this mesh
         axis (use inside shard_map); if None, rely on jit+shardings to insert
@@ -80,8 +85,10 @@ def make_darts_step(forward: Callable, criterion: Callable,
     """
 
     def loss_on(theta, alphas, omega, img, gt):
-        pred, latency = forward(theta, alphas, omega, img)
-        return criterion(pred, gt, latency=latency)
+        out = forward(theta, alphas, omega, img)
+        pred, latency = out[0], out[1]
+        mids = out[2] if len(out) > 2 else None
+        return criterion(pred, gt, latency=latency), mids
 
     def maybe_pmean(tree):
         if axis_name is None:
@@ -97,16 +104,17 @@ def make_darts_step(forward: Callable, criterion: Callable,
         lr_alpha = cfg.lr_alpha * lr_scale
 
         # ---- 1) virtual step: theta' = theta - lr_meta*(mu*buf + g) ----
-        g_w = jax.grad(loss_on, argnums=0)(theta, alphas, omega, img, gt)
+        g_w = jax.grad(loss_on, argnums=0, has_aux=True)(
+            theta, alphas, omega, img, gt)[0]
         g_w = maybe_pmean(g_w)
         velocity = jax.tree.map(
             lambda buf, g: cfg.momentum * buf + g, opt_state["momentum"], g_w)
         theta_v = _tree_scale_add(theta, velocity, -cfg.lr_meta)
 
         # ---- 2) unrolled val loss grads wrt (alphas, theta') ----
-        val_loss, (dalpha, dtheta_v) = jax.value_and_grad(
+        (val_loss, _), (dalpha, dtheta_v) = jax.value_and_grad(
             lambda a, tv: loss_on(tv, a, omega, val_img, val_gt),
-            argnums=(0, 1))(alphas, theta_v)
+            argnums=(0, 1), has_aux=True)(alphas, theta_v)
         dalpha = maybe_pmean(dalpha)
         dtheta_v = maybe_pmean(dtheta_v)
 
@@ -114,7 +122,7 @@ def make_darts_step(forward: Callable, criterion: Callable,
         norm = _global_norm(dtheta_v)
         eps = jnp.where(norm < 1e-6, 0.0, 0.01 / jnp.clip(norm, 1e-6, None))
         grad_alpha_at = jax.grad(
-            lambda a, t: loss_on(t, a, omega, img, gt), argnums=0)
+            lambda a, t: loss_on(t, a, omega, img, gt)[0], argnums=0)
         dalpha_pos = grad_alpha_at(alphas, _tree_scale_add(theta, dtheta_v, eps))
         dalpha_neg = grad_alpha_at(alphas, _tree_scale_add(theta, dtheta_v, -eps))
         denom = jnp.where(eps > 0, 2.0 * eps, 1.0)
@@ -144,7 +152,8 @@ def make_darts_step(forward: Callable, criterion: Callable,
         # ---- 5) SGD+momentum step on theta at the *new* alphas ----
         # (reference train.py:207-209 runs optimize_alphas before
         # optimize_parameters, so the weight step sees updated alphas)
-        train_loss, g_theta = jax.value_and_grad(loss_on, argnums=0)(
+        (train_loss, mids), g_theta = jax.value_and_grad(
+            loss_on, argnums=0, has_aux=True)(
             theta, new_alphas, omega, img, gt)
         g_theta = maybe_pmean(g_theta)
         new_buf = jax.tree.map(
@@ -155,6 +164,8 @@ def make_darts_step(forward: Callable, criterion: Callable,
         new_opt = {"momentum": new_buf, "adam_m": m, "adam_v": v, "adam_t": t}
         logs = {"loss": train_loss, "val_loss": val_loss,
                 "eps": eps, "dtheta_norm": norm}
+        if mids is not None:
+            logs["_mids"] = mids
         return new_vars, new_opt, logs
 
     return step

@@ -1,15 +1,25 @@
-"""Offline proxy pretraining: teach each proxy CNN to imitate its algorithm.
+"""Offline pretraining for every learned module in the search space.
 
-The reference ships a zoo of pretrained proxy checkpoints
-(reference super_prune...py:34-47 loads 12 .pth files trained in external
-'proxy_nets' experiments that are not part of the repo).  This module is that
-missing pretraining stage: for every proxy-capable op, train the SRCNN
-imitator against our *native* implementation on procedural images with
-params ~ U[0,1] — the same protocol the online fine-tuner uses
-(darts_ft_model.py:221-240), run to convergence offline.
+The reference ships a zoo of pretrained checkpoints loaded at supernet
+construction (reference super_prune...py:34-47: 12 proxy .pth files trained
+in external 'proxy_nets' experiments that are not part of the repo) and
+per-step weights for fixed pipelines (isp_universal.py:169-176).  This module
+is that missing pretraining stage, covering:
+
+  * sRGB proxies  — SRCNN-Res imitators trained against our native
+    implementation of their algorithm on params ~ U[0,1] (the protocol the
+    online fine-tuner uses, darts_ft_model.py:221-240).  Includes BM3D, whose
+    target is the native transform-domain denoiser (ops/denoise.dct_denoise).
+  * demosaic proxies — SRCNN-demosaic imitators of bilinear / Malvar.
+  * native CNN ops — trained on their actual tasks so they enter the search
+    as competent candidates rather than random nets:
+      demosaicnet  : clean mosaic -> clean BGR
+      path_bayer   : noisy mosaic -> clean mosaic
+      path_bgr     : noisy BGR    -> clean BGR
 
 CLI: python -m reconfigisp_tpu.search.proxy_pretrain --steps 2000 \
         --out proxies.ckpt [--ops reinhard,median] [--platform cpu]
+The checkpoint is consumed by run_training via `path.pretrain_proxies`.
 """
 
 from __future__ import annotations
@@ -26,38 +36,103 @@ from reconfigisp_tpu.utils import losses, optim, checkpoint
 from reconfigisp_tpu.data.datasets import SyntheticRawDataset
 
 
-def pretrain_proxies(steps: int = 1000, *, batch: int = 8, size: int = 48,
-                     lr: float = 1e-3, seed: int = 0,
-                     ops: Optional[set] = None,
-                     log_every: int = 100, verbose: bool = True) -> dict:
-    """-> {op_name: weights pytree} for every sRGB op with both a proxy and
-    a native implementation (BM3D has no native target, as in the
-    reference — origin_universal.py:11-13)."""
-    key = jax.random.PRNGKey(seed)
-    rng = np.random.default_rng(seed)
+def _make_scene_sampler(batch: int, size: int, seed: int):
     scene = SyntheticRawDataset(n=1, size=size, noise_std=0.02, seed=seed)
 
-    def sample_batch(i):
+    def sample(i: int) -> np.ndarray:
         imgs = [scene._scene(np.random.default_rng(seed * 7 + i * 131 + k),
                              size) for k in range(batch)]
-        return jnp.asarray(np.stack(imgs))
+        return np.stack(imgs)
 
-    trained = {}
+    return sample
+
+
+def _mosaic_batch(bgr: np.ndarray) -> np.ndarray:
+    return np.stack([SyntheticRawDataset.mosaic_rggb(im) for im in bgr])
+
+
+def pretrain_modules(steps: int = 1000, *, batch: int = 8, size: int = 48,
+                     lr: float = 1e-3, seed: int = 0,
+                     ops: Optional[set] = None, noise_std: float = 0.06,
+                     log_every: int = 100, verbose: bool = True) -> dict:
+    """-> {op_name: weights pytree} for every learned module (see module
+    docstring for the task each one trains on)."""
+    key = jax.random.PRNGKey(seed)
+    rng = np.random.default_rng(seed)
+    sample_scene = _make_scene_sampler(batch, size, seed)
+
+    plans = []  # (name, init_fn, batch_fn) where batch_fn(i,k)->(x,params,tgt_fn)
+
+    # ---- sRGB proxies: imitate the native algorithm on random params ----
     for spec in pool("srgb"):
+        if spec.proxy_apply is None or spec.ft_target_fn() is None:
+            continue
+        target_fn = spec.ft_target_fn()
+
+        def batch_fn(i, _spec=spec, _tf=target_fn):
+            x = jnp.asarray(sample_scene(i))
+            p = rng.random((1, _spec.n_params)).astype(np.float32)
+            params = jnp.asarray(np.repeat(p, batch, axis=0))
+            target = jax.lax.stop_gradient(_tf(x, params, None))
+            return x, params, target
+
+        plans.append((spec.name, spec.proxy_init, spec.proxy_apply, batch_fn))
+
+    # ---- demosaic proxies: imitate the native demosaic on mosaics ----
+    for spec in pool("demosaic"):
         if spec.proxy_apply is None or spec.apply is None:
             continue
-        if ops is not None and spec.name not in ops:
+
+        def batch_fn(i, _spec=spec):
+            bgr = sample_scene(i)
+            x = jnp.asarray(_mosaic_batch(bgr))
+            target = jax.lax.stop_gradient(_spec.apply(x, None, None))
+            return x, None, target
+
+        plans.append((spec.name, spec.proxy_init, spec.proxy_apply, batch_fn))
+
+    # ---- native CNN ops: train on their real task ----
+    by_name = {s.name: s for dom in ("bayer", "demosaic", "srgb")
+               for s in pool(dom)}
+
+    def add_native(name, batch_fn):
+        spec = by_name[name]
+        plans.append((name, spec.init_weights,
+                      lambda x, p, w, _s=spec: _s.apply(x, p, w), batch_fn))
+
+    def dem_batch(i):
+        bgr = sample_scene(i)
+        return jnp.asarray(_mosaic_batch(bgr)), None, jnp.asarray(bgr)
+
+    def bayer_batch(i):
+        bgr = sample_scene(i)
+        clean = _mosaic_batch(bgr)
+        noisy = clean + rng.normal(0, noise_std, clean.shape)
+        return (jnp.asarray(np.clip(noisy, 0, 1).astype(np.float32)), None,
+                jnp.asarray(clean))
+
+    def bgr_batch(i):
+        bgr = sample_scene(i)
+        noisy = bgr + rng.normal(0, noise_std, bgr.shape)
+        return (jnp.asarray(np.clip(noisy, 0, 1).astype(np.float32)), None,
+                jnp.asarray(bgr))
+
+    add_native("demosaicnet", dem_batch)
+    add_native("path_bayer", bayer_batch)
+    add_native("path_bgr", bgr_batch)
+
+    trained = {}
+    for name, init_fn, apply_fn, batch_fn in plans:
+        if ops is not None and name not in ops:
             continue
         key, k = jax.random.split(key)
-        weights = spec.proxy_init(k)
+        weights = init_fn(k)
         opt_state = optim.adam_init(weights)
 
         @jax.jit
-        def step_fn(w, o, data, params, _spec=spec):
-            target = jax.lax.stop_gradient(_spec.apply(data, params, None))
-
+        def step_fn(w, o, x, params, target, _apply=apply_fn):
             def loss_fn(w_):
-                return losses.l2(_spec.proxy_apply(data, params, w_), target)
+                return losses.l2(_apply(x, params, w_), target)
 
             loss, grads = jax.value_and_grad(loss_fn)(w)
             w2, o2 = optim.adam_update(w, grads, o, lr=lr)
@@ -65,19 +140,25 @@ def pretrain_proxies(steps: int = 1000, *, batch: int = 8, size: int = 48,
 
         loss = None
         for i in range(steps):
-            data = sample_batch(i)
-            p = rng.random((1, spec.n_params)).astype(np.float32)
-            params = jnp.asarray(np.repeat(p, batch, axis=0))
-            weights, opt_state, loss = step_fn(weights, opt_state, data,
-                                               params)
+            x, params, target = batch_fn(i)
+            weights, opt_state, loss = step_fn(weights, opt_state, x,
+                                               params, target)
             if verbose and (i + 1) % log_every == 0:
-                print(f"[{spec.name}] step {i + 1}/{steps} "
-                      f"l2 {float(loss):.3e}", flush=True)
-        trained[spec.name] = weights
+                print(f"[{name}] step {i + 1}/{steps} l2 {float(loss):.3e}",
+                      flush=True)
+        trained[name] = weights
         if verbose:
-            print(f"[{spec.name}] done, final l2 {float(loss):.3e}",
-                  flush=True)
+            print(f"[{name}] done, final l2 {float(loss):.3e}", flush=True)
     return trained
+
+
+def pretrain_proxies(steps: int = 1000, *, ops: Optional[set] = None,
+                     **kw) -> dict:
+    """Back-compat alias restricted to the sRGB proxy set when ops is None."""
+    if ops is None:
+        ops = {s.name for s in pool("srgb")
+               if s.proxy_apply is not None and s.ft_target_fn() is not None}
+    return pretrain_modules(steps, ops=ops, **kw)
 
 
 def main():
@@ -94,13 +175,13 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     ops = set(args.ops.split(",")) if args.ops else None
-    trained = pretrain_proxies(steps=args.steps, batch=args.batch,
+    trained = pretrain_modules(steps=args.steps, batch=args.batch,
                                size=args.size, lr=args.lr, ops=ops)
     import os
     d, f = os.path.split(args.out)
     checkpoint.save_network(d or ".", "proxies",
                             f.replace(".ckpt", ""), trained)
-    print(f"saved {len(trained)} proxies to {args.out}")
+    print(f"saved {len(trained)} module weight sets to {args.out}")
 
 
 if __name__ == "__main__":

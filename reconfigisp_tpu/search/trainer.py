@@ -135,6 +135,7 @@ class DartsTrainer:
             beta2=train_opt.get("beta2", 0.99))
         self.step_idx = 0
         self._mesh = mesh
+        self._last_aux: dict = {}
 
         if forward is None:
             def forward(theta, alphas, omega, img):
@@ -158,6 +159,10 @@ class DartsTrainer:
             batch = meshlib.shard_batch(self._mesh, batch)
         self.variables, self.opt_state, logs = self._step(
             self.variables, self.opt_state, batch, lr_scale)
+        # non-scalar aux (e.g. the ft trainer's intermediates) rides along in
+        # underscore-keyed entries; keep it off the scalar log path
+        self._last_aux = {k: logs.pop(k) for k in list(logs)
+                          if k.startswith("_")}
         return {k: float(v) for k, v in logs.items()}
 
     # ---------------------------------------------------------- housekeeping
@@ -182,6 +187,17 @@ class DartsTrainer:
         self.step_idx = st["step"]
         return st["epoch"]
 
+    def load_pretrained(self, weights_by_name: dict) -> list:
+        """Install pretrained CNN/proxy weights into the shared omega bank
+        (reference loads 12 proxy .pth files at supernet construction,
+        super_prune...py:34-47).  Returns the installed op names."""
+        installed = []
+        for name, w in weights_by_name.items():
+            if name in self.variables["omega"]:
+                self.variables["omega"][name] = jax.tree.map(jnp.asarray, w)
+                installed.append(name)
+        return installed
+
 
 class DartsFtTrainer(DartsTrainer):
     """Search + online proxy tuning (reference DartsFtModel/train_ft.py).
@@ -198,6 +214,18 @@ class DartsFtTrainer(DartsTrainer):
                  proxy_ft_params: dict, **kw):
         if not supernet.use_proxies:
             raise ValueError("DartsFtTrainer requires use_proxies=True")
+        if "forward" not in kw:
+            # expose the 3-channel intermediates from the training pass so
+            # record_intermediates never pays an extra forward (reference
+            # reuses the pass's intermediate_results, darts_ft_model.py:194-201)
+            def forward(theta, alphas, omega, img):
+                y, aux = supernet(
+                    {"theta": theta, "alphas": alphas, "omega": omega},
+                    img, return_aux=True)
+                mids3 = jnp.stack([m for m in aux["intermediates"]
+                                   if m.shape[-1] == 3])
+                return y, aux["latency"], mids3
+            kw["forward"] = forward
         super().__init__(supernet, train_opt, **kw)
         self.memory_size = proxy_ft_params.get("memory_size", 1000)
         self.ft_steps = proxy_ft_params.get("ft_steps", 5)
@@ -220,7 +248,7 @@ class DartsFtTrainer(DartsTrainer):
 
     def _make_ft_step(self, spec):
         proxy_apply = spec.proxy_apply
-        native_apply = spec.apply
+        native_apply = spec.ft_target_fn()
         lr = self.cfg.lr_alpha
         b1, b2 = self.cfg.beta1, self.cfg.beta2
 
@@ -237,19 +265,28 @@ class DartsFtTrainer(DartsTrainer):
 
         return ft_step
 
-    def record_intermediates(self, train_batch: dict):
+    def record_intermediates(self, train_batch: Optional[dict] = None):
         """Push current sRGB intermediates into the FIFO memory
-        (reference darts_ft_model.py:194-201: only 3-channel tensors)."""
-        _, aux = self.net(self.variables, jnp.asarray(train_batch["noisy"]),
-                          return_aux=True)
-        for t in aux["intermediates"]:
-            if t.shape[-1] == 3:
-                self.ft_data.append(np.asarray(t))
+        (reference darts_ft_model.py:194-201: only 3-channel tensors).
+
+        Reuses the last search_step's intermediates when available (no extra
+        forward); falls back to a fresh forward only when called before any
+        step (or with an explicit batch)."""
+        mids = self._last_aux.get("_mids")
+        if mids is not None:
+            self.ft_data.extend(np.asarray(mids))
+        elif train_batch is not None:
+            _, aux = self.net(self.variables,
+                              jnp.asarray(train_batch["noisy"]),
+                              return_aux=True)
+            for t in aux["intermediates"]:
+                if t.shape[-1] == 3:
+                    self.ft_data.append(np.asarray(t))
         if len(self.ft_data) > self.memory_size:
             self.ft_data = self.ft_data[-self.memory_size:]
 
     def finetune_proxies(self) -> dict:
-        if not self.ft_data:
+        if not self.ft_data or self.ft_steps < 1:
             return {}
         logs = {}
         for spec in self.ft_ops:
@@ -307,6 +344,56 @@ def build_yolo_evaluator(yolo_opt: dict, img_size: int):
     return blocks, weights
 
 
+def _make_val_probe(opt, dataset, trainer, is_yolo: bool, n_samples: int = 2):
+    """Periodic validation probe for the training loop: writes in|out|gt image
+    strips under path.val_images and returns a val-PSNR scalar (reference
+    train.py:218-297 logs the same strips + PSNR to TensorBoard)."""
+    import jax.numpy as jnp
+    from reconfigisp_tpu.utils.metrics import psnr as psnr_fn
+    from reconfigisp_tpu.utils.imaging import tensor2bgr
+
+    paths = opt.get("path") or {}
+    val_dir = paths.get("val_images")
+    samples = [dataset[i] for i in range(min(n_samples, len(dataset)))]
+
+    if hasattr(trainer, "net"):
+        fwd = jax.jit(lambda v, x: trainer.net(v, x))
+        live_vars = lambda: trainer.variables
+    else:
+        fwd = jax.jit(lambda s, x: trainer.pipeline(s, x))
+        live_vars = lambda: trainer.state
+
+    def probe(step_idx: int) -> dict:
+        logs = {}
+        psnrs = []
+        for si, s in enumerate(samples):
+            x = jnp.asarray(s["noisy"])[None]
+            y = np.asarray(jnp.clip(fwd(live_vars(), x)[0], 0.0, 1.0))
+            gt = s.get("gt")
+            if gt is not None and not is_yolo:
+                psnrs.append(float(psnr_fn(y, gt)))
+            if val_dir:
+                os.makedirs(val_dir, exist_ok=True)
+                noisy = s["noisy"]
+                inp = (np.repeat(noisy, 3, axis=-1)
+                       if noisy.shape[-1] == 1 else noisy)
+                panels = [inp, y] + ([gt] if gt is not None else [])
+                strip = np.concatenate([tensor2bgr(p) for p in panels],
+                                       axis=1)
+                try:
+                    import cv2
+                    cv2.imwrite(os.path.join(
+                        val_dir, f"{step_idx:08d}_{si}.png"), strip)
+                except ImportError:  # pragma: no cover
+                    np.save(os.path.join(
+                        val_dir, f"{step_idx:08d}_{si}.npy"), strip)
+        if psnrs:
+            logs["val_psnr"] = float(np.mean(psnrs))
+        return logs
+
+    return probe
+
+
 def run_training(opt: dict, *, max_iters: Optional[int] = None,
                  data_override=None) -> dict:
     """End-to-end training driver (reference codes/train.py:58-301 and
@@ -343,6 +430,22 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
     net_opt = opt["network_G"]
     summary = {}
 
+    # measured per-op latency table, installed BEFORE nets capture OpSpecs
+    # (reference's latency loss was dormant for lack of a source, SURVEY §5)
+    if train_opt.get("calibrate_latency"):
+        from reconfigisp_tpu.utils import latency as latlib
+        table = latlib.calibrate(
+            size=int(train_opt.get("latency_calib_size") or 256))
+        latlib.install(table)
+        logger.info("installed measured latency table: " + ", ".join(
+            f"{k}={v:.3f}" for k, v in sorted(table.items())))
+        if paths.get("experiments_root"):
+            import json
+            os.makedirs(paths["experiments_root"], exist_ok=True)
+            with open(os.path.join(paths["experiments_root"],
+                                   "latency_table.json"), "w") as f:
+                json.dump(table, f, indent=1)
+
     is_yolo = "yolo" in (opt["model"] or "")
     criterion = None
     target_key = "gt"
@@ -378,10 +481,22 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
                 epoch = trainer.resume(latest)
                 logger.info(f"resumed from {latest} (step {trainer.step_idx})")
 
+        # pretrained module weights (reference super_prune...py:34-47 loads
+        # 12 proxy checkpoints at construction; produced here by
+        # search/proxy_pretrain.py)
+        if paths.get("pretrain_proxies"):
+            loaded = checkpoint.load_network(paths["pretrain_proxies"])
+            names = trainer.load_pretrained(loaded)
+            logger.info(f"pretrained weights installed for {sorted(names)}")
+
         train_loader, val_loader = create_search_loaders(
             dataset, batch_size, seed=seed)
-        print_freq = (opt.get("logger") or {}).get("print_freq", 10)
-        save_freq = (opt.get("logger") or {}).get("save_checkpoint_freq")
+        logger_opt = opt.get("logger") or {}
+        print_freq = logger_opt.get("print_freq", 10)
+        save_freq = logger_opt.get("save_checkpoint_freq")
+        val_freq = logger_opt.get("val_freq")
+        probe = _make_val_probe(opt, dataset, trainer, is_yolo)
+        logs = {"loss": float("nan"), "val_loss": float("nan")}
         t0 = time.time()
         for (tb, vb) in zip(train_loader, val_loader):
             if trainer.step_idx >= niter:
@@ -393,15 +508,23 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
                     logs.update(trainer.finetune_proxies())
             if trainer.step_idx % print_freq == 0:
                 dt = (time.time() - t0) / print_freq
+                # pruned-path counts (reference train.py:286-287)
+                pruned = trainer.pruned_paths(tb["noisy"][:1])
                 logger.info(
                     f"iter {trainer.step_idx:8,d} loss {logs['loss']:.4e} "
-                    f"val {logs['val_loss']:.4e} ({dt:.3f}s/iter)")
+                    f"val {logs['val_loss']:.4e} pruned {pruned.tolist()} "
+                    f"({dt:.3f}s/iter)")
                 # per-slot alpha distributions (reference train.py:279-283)
                 alpha_logs = {}
                 for slot, arr in trainer.variables["alphas"].items():
                     for m, a in enumerate(np.asarray(arr)):
                         alpha_logs[f"alpha_{slot}/m_{m + 1}"] = float(a)
+                for s, cnt in zip(trainer.net.slot_names, pruned):
+                    alpha_logs[f"pruned/{s}"] = float(cnt)
                 metrics.scalars(trainer.step_idx, {**logs, **alpha_logs})
+                t0 = time.time()
+            if val_freq and trainer.step_idx % int(val_freq) == 0:
+                logs.update(probe(trainer.step_idx))
                 t0 = time.time()
             if save_freq and trainer.step_idx % int(save_freq) == 0 \
                     and paths.get("models"):
@@ -417,8 +540,24 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
         trainer = IspTrainer(pipe, train_opt, key=key, mesh=mesh,
                              train_weights=bool(train_opt.get("train_weights")),
                              criterion=criterion, target_key=target_key)
+        # pretrained module weights: shared bank and/or per-step overrides
+        # (reference isp_universal.py:169-176 loads per-step proxy paths)
+        if paths.get("pretrain_proxies"):
+            loaded = checkpoint.load_network(paths["pretrain_proxies"])
+            for opname, w in loaded.items():
+                if opname in trainer.state["weights"]:
+                    trainer.state["weights"][opname] = jax.tree.map(
+                        jnp.asarray, w)
+        for step_name, wpath in (net_opt.get("module_weight_paths")
+                                 or {}).items():
+            trainer.state["weights"][step_name] = jax.tree.map(
+                jnp.asarray, checkpoint.load_network(wpath))
         loader = create_loader(dataset, batch_size, shuffle_seed=seed)
-        print_freq = (opt.get("logger") or {}).get("print_freq", 10)
+        logger_opt = opt.get("logger") or {}
+        print_freq = logger_opt.get("print_freq", 10)
+        val_freq = logger_opt.get("val_freq")
+        probe = _make_val_probe(opt, dataset, trainer, is_yolo)
+        logs = {"loss": float("nan")}
         t0 = time.time()
         for batch in loader:
             if trainer.step_idx >= niter:
@@ -429,6 +568,9 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
                 logger.info(f"iter {trainer.step_idx:8,d} "
                             f"loss {logs['loss']:.4e} ({dt:.3f}s/iter)")
                 metrics.scalars(trainer.step_idx, logs)
+                t0 = time.time()
+            if val_freq and trainer.step_idx % int(val_freq) == 0:
+                logs.update(probe(trainer.step_idx))
                 t0 = time.time()
         summary = dict(logs)
         if paths.get("models"):

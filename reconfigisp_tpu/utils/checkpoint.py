@@ -17,8 +17,28 @@ import jax
 import numpy as np
 
 
+FORMAT_VERSION = 1
+_MAGIC = "__reconfigisp_ckpt__"
+
+
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _wrap(payload: Any) -> dict:
+    return {_MAGIC: FORMAT_VERSION, "payload": payload}
+
+
+def _unwrap(obj: Any) -> Any:
+    """Accept both versioned and legacy (bare-pytree) checkpoints."""
+    if isinstance(obj, dict) and _MAGIC in obj:
+        ver = obj[_MAGIC]
+        if ver > FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint format {ver} is newer than supported "
+                f"({FORMAT_VERSION}) — upgrade the framework to load it")
+        return obj["payload"]
+    return obj
 
 
 def save_network(path_dir: str, label: str, iter_label, variables) -> str:
@@ -26,13 +46,13 @@ def save_network(path_dir: str, label: str, iter_label, variables) -> str:
     os.makedirs(path_dir, exist_ok=True)
     path = os.path.join(path_dir, f"{iter_label}_{label}.ckpt")
     with open(path, "wb") as f:
-        pickle.dump(_to_numpy(variables), f)
+        pickle.dump(_wrap(_to_numpy(variables)), f)
     return path
 
 
 def load_network(path: str):
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return _unwrap(pickle.load(f))
 
 
 def save_training_state(path_dir: str, iter_label, *, epoch: int, step: int,
@@ -48,14 +68,14 @@ def save_training_state(path_dir: str, iter_label, *, epoch: int, step: int,
         "extra": _to_numpy(extra) if extra is not None else None,
     }
     with open(path, "wb") as f:
-        pickle.dump(state, f)
+        pickle.dump(_wrap(state), f)
     return path
 
 
 def load_training_state(path: str) -> dict:
     """Restore for resume (reference base_model.py:110-119 — wired here)."""
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return _unwrap(pickle.load(f))
 
 
 def latest_state(path_dir: str) -> Optional[str]:
