@@ -6,10 +6,15 @@ denoise, Malvar demosaic, gamma, quadratic CCM, manual WB — compiled to one
 XLA program over an HBM-resident 4096x3072 mosaic (12.6 MP).
 
 Baseline: the reference implementation targets CUDA GPUs, which this
-environment does not have, so the comparison point is the same pipeline
-implemented in PyTorch (independently written here, same ops/shapes) on the
-available torch backend (CPU), measured at 512x512 and scaled to MP/s.  The
-measured torch number is cached in .bench_baseline.json.
+environment does not have, so `vs_baseline` compares against the same
+pipeline implemented in PyTorch (independently written here, same ops/shapes)
+on the available torch backend (CPU, ~0.34 MP/s at 512x512, cached in
+.bench_baseline.json).  That makes the printed ratio a torch-*CPU* ratio —
+state-of-the-art GPU inference of this conv stack would land in the tens of
+MP/s, so read the absolute MP/s number, not the ratio, as the headline.
+History: 49.6 MP/s (r1, f32, strided Bayer pack, per-frame dispatch) ->
+105 MP/s (r2: bf16 storage, reshape-based pack, fused elementwise CCM,
+multi-frame dispatch amortizing the ~25 ms tunnel RTT).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": ratio}
@@ -39,32 +44,39 @@ def measure_tpu() -> float:
     import jax
     import jax.numpy as jnp
     from reconfigisp_tpu.pipeline import Pipeline
+    from reconfigisp_tpu import precision
 
     log(f"jax devices: {jax.devices()}")
     pipe = Pipeline(ARCH)
     state = pipe.init(jax.random.PRNGKey(0))
-    # sum inside jit and fetch the scalar per iteration: the device tunnel
-    # memoizes identical dispatches AND reports block_until_ready
-    # optimistically, so honest timing needs (a) a distinct frame per
-    # iteration and (b) a true device->host value dependency.
-    fwd = jax.jit(lambda s, x: jnp.sum(pipe(s, x)))
-    iters = 8
-    frames = [jax.random.uniform(jax.random.PRNGKey(i), (1, H, W, 1),
+    # Timing protocol: the device tunnel memoizes identical dispatches AND
+    # reports block_until_ready optimistically, so honest timing needs
+    # (a) distinct frames per dispatch and (b) a true device->host scalar
+    # dependency.  Each dispatch additionally pays a ~25 ms tunnel round
+    # trip, so one dispatch processes FPD frames via lax.scan and the
+    # per-frame time divides it out (throughput, not latency).
+    FPD = 4
+    with precision.cnn_storage("bf16"):  # bf16 inter-layer storage on TPU
+        fwd = jax.jit(lambda s, xs: jnp.sum(
+            jax.lax.scan(lambda c, x: (c + jnp.sum(pipe(s, x)), 0.0),
+                         0.0, xs)[0]))
+    iters = 6
+    stacks = [jax.random.uniform(jax.random.PRNGKey(i), (FPD, 1, H, W, 1),
                                  jnp.float32, 0.02, 0.98)
               for i in range(iters + 2)]
     t0 = time.perf_counter()
-    float(fwd(state, frames[0]))
+    float(fwd(state, stacks[0]))
     log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
-    float(fwd(state, frames[1]))  # drain
+    float(fwd(state, stacks[1]))  # drain
     ts = []
     for i in range(2, iters + 2):
         t0 = time.perf_counter()
-        float(fwd(state, frames[i]))
+        float(fwd(state, stacks[i]))
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    dt = ts[len(ts) // 2]
+    dt = ts[len(ts) // 2] / FPD
     mps = MP / dt
-    log(f"tpu: median of {iters} -> {mps:.1f} MP/s "
+    log(f"tpu: median of {iters} x {FPD}-frame dispatches -> {mps:.1f} MP/s "
         f"({dt * 1e3:.1f} ms / 12MP frame)")
     return mps
 

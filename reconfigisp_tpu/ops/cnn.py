@@ -14,34 +14,33 @@ unused channels are zero so narrower ops are bit-identical.
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 
 from reconfigisp_tpu.ops.nn import (
     conv2d, init_conv, pixel_shuffle, bayer_to_rggb, broadcast_params,
 )
+from reconfigisp_tpu.precision import cnn_storage_dtype
+
+
+def _conv_s(x, w, b):
+    """conv2d honoring the precision policy: bf16 storage halves the HBM
+    traffic that dominates these stacks at 12 MP (precision.py)."""
+    dt = cnn_storage_dtype()
+    if dt == jnp.float32:
+        return conv2d(x, w, b)
+    return conv2d(x, w, b, compute_dtype=dt).astype(dt)
 
 MAX_PROXY_PARAMS = 5  # widest proxy is bm3d with 5 params (super_prune...py:46)
 
-# Fused Pallas fast path for the Path-Restore stacks on TPU:
-# "auto" = use when on TPU, unconditioned, and tile-divisible; "0" (default
-# until the Mosaic lane-alignment layout lands) disables; "1" forces.
-FUSED_PATH14 = os.environ.get("RECONFIGISP_FUSED", "0")
-_FUSE_TH, _FUSE_TW = 32, 512
-
-
-def _fused_ok(h: int, w: int, params) -> bool:
-    if FUSED_PATH14 == "0":
-        return False
-    if params is not None and params.shape[1] > 0:
-        return False  # conditioning channels not supported in the fused path
-    if h % _FUSE_TH or w % _FUSE_TW:
-        return False
-    if FUSED_PATH14 == "1":
-        return True
-    return jax.default_backend() == "tpu"
+# Performance note (v5e, measured): the 13x conv3x3/64ch stack runs at
+# ~57 TFLOP/s in plain XLA with bf16 storage (precision.py) — ~4 ms/conv at
+# 12 MP.  A fused Pallas version was built and benchmarked: rank-3
+# dot_general does not lower onto the MXU (remote Mosaic compiler OOM-kill),
+# and the compiling rank-2 variant needed a 100 MB VMEM override yet reached
+# only ~12 TFLOP/s.  With conv FLOPs bounded by 64-channel MXU lane packing
+# either way, the XLA path wins; the Pallas budget goes to the windowed
+# denoise ops instead (ops/pallas_kernels.py), where XLA has no good form.
 
 
 # ------------------------------------------------------------------ SRCNN-Res
@@ -81,10 +80,10 @@ def apply_srcnn_res(weights, x, params):
     feat_max = jnp.max(x, axis=(1, 2))
     cond = jnp.concatenate([feat_min, feat_mean, feat_max, params], axis=1)
     feat = jnp.concatenate([x, broadcast_params(cond, h, w)], axis=-1)
-    y = jax.nn.relu(conv2d(feat, **weights["conv1"]))
-    y = jax.nn.relu(conv2d(y, **weights["conv2"]))
-    y = conv2d(y, **weights["conv3"])
-    return x + y
+    y = jax.nn.relu(_conv_s(feat, **weights["conv1"]))
+    y = jax.nn.relu(_conv_s(y, **weights["conv2"]))
+    y = _conv_s(y, **weights["conv3"])
+    return x + y.astype(x.dtype)
 
 
 # ------------------------------------------------------------- SRCNN demosaic
@@ -106,10 +105,10 @@ def apply_srcnn_demosaic(weights, x, params=None):
     if params is not None and params.shape[1] > 0:
         packed = jnp.concatenate(
             [packed, broadcast_params(params, *packed.shape[1:3])], axis=-1)
-    y = jax.nn.relu(conv2d(packed, **weights["conv1"]))
-    y = jax.nn.relu(conv2d(y, **weights["conv2"]))
-    y = conv2d(y, **weights["conv3"])  # (N, H/2, W/2, 12)
-    return pixel_shuffle(y, 2)  # (N, H, W, 3)
+    y = jax.nn.relu(_conv_s(packed, **weights["conv1"]))
+    y = jax.nn.relu(_conv_s(y, **weights["conv2"]))
+    y = _conv_s(y, **weights["conv3"])  # (N, H/2, W/2, 12)
+    return pixel_shuffle(y, 2).astype(x.dtype)  # (N, H, W, 3)
 
 
 # --------------------------------------------------------- Path-Restore 14L
@@ -122,8 +121,8 @@ def _init_resblock(key):
 
 def _apply_resblock(w, x):
     """pre-activation residual block (reference path_14l_bayer_arch.py:6-21)."""
-    y = conv2d(jax.nn.relu(x), **w["conv1"])
-    y = conv2d(jax.nn.relu(y), **w["conv2"])
+    y = _conv_s(jax.nn.relu(x), **w["conv1"])
+    y = _conv_s(jax.nn.relu(y), **w["conv2"])
     return x + y
 
 
@@ -137,10 +136,12 @@ def init_path14(key, in_ch: int, out_ch: int, n_params: int = 0) -> dict:
 
 
 def _apply_path14(weights, feat):
-    y = conv2d(feat, **weights["conv_first"])
+    in_dtype = feat.dtype
+    y = _conv_s(feat, **weights["conv_first"])
     for blk in weights["blocks"]:
         y = _apply_resblock(blk, y)
-    return conv2d(jax.nn.relu(y), **weights["conv_last"])
+    return _conv_s(jax.nn.relu(y),
+                   **weights["conv_last"]).astype(in_dtype)
 
 
 def init_path14_bayer(key, n_params: int = 0) -> dict:
@@ -152,10 +153,6 @@ def init_path14_bayer(key, n_params: int = 0) -> dict:
 def apply_path14_bayer(weights, x, params=None):
     """x (N,H,W,1) Bayer -> (N,H,W,1) Bayer."""
     packed = bayer_to_rggb(x)
-    if _fused_ok(packed.shape[1], packed.shape[2], params):
-        from reconfigisp_tpu.ops.pallas_kernels import path14_fused_pallas
-        y = path14_fused_pallas(weights, packed, th=_FUSE_TH, tw=_FUSE_TW)
-        return pixel_shuffle(y, 2)
     if params is not None and params.shape[1] > 0:
         packed = jnp.concatenate(
             [packed, broadcast_params(params, *packed.shape[1:3])], axis=-1)
@@ -172,10 +169,6 @@ def apply_path14_bgr(weights, x, params=None):
     """x (N,H,W,3) BGR -> BGR.  The net itself runs in RGB order
     (reference path_14l_bgr_arch.py:64-65,84)."""
     rgb = x[..., ::-1]
-    if _fused_ok(rgb.shape[1], rgb.shape[2], params):
-        from reconfigisp_tpu.ops.pallas_kernels import path14_fused_pallas
-        y = path14_fused_pallas(weights, rgb, th=_FUSE_TH, tw=_FUSE_TW)
-        return y[..., ::-1]
     if params is not None and params.shape[1] > 0:
         rgb = jnp.concatenate(
             [rgb, broadcast_params(params, *rgb.shape[1:3])], axis=-1)

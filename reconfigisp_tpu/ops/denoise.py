@@ -25,6 +25,8 @@ keep sigma semantics identical to the reference wrappers (tools_origin.py:687-68
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -41,8 +43,57 @@ def _pad_reflect(x, r):
     return jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
 
 
+# ---------------------------------------------------------------------------
+# Pallas dispatch: on TPU, large aligned frames route to the VMEM-resident
+# kernels in ops/pallas_kernels.py — at 12 MP the jnp tap unrolls do not even
+# fit in HBM (measured 16.6 GB demand vs 15.7 GB capacity).  Gradients come
+# from the jnp implementation's VJP via jax.custom_vjp: search runs on small
+# crops where the jnp path is used anyway, and the windowed algorithms'
+# image-jacobians stay exactly as differentiable as before.
+# ---------------------------------------------------------------------------
+
+_PALLAS_MIN_PIXELS = 512 * 512
+
+
+def _use_pallas(x) -> bool:
+    if os.environ.get("RECONFIGISP_PALLAS", "auto") == "0":
+        return False
+    n, h, w, c = x.shape
+    if (w * c) % 128 or h % 8:
+        return False  # kernel output lane/sublane alignment
+    if h * w < _PALLAS_MIN_PIXELS:
+        return False  # jnp is fine (and grad-exact) for search crops
+    return jax.default_backend() == "tpu"
+
+
+def _make_hybrid(pallas_name: str, jnp_fn):
+    """custom_vjp op: Pallas forward, jnp-VJP backward."""
+
+    @jax.custom_vjp
+    def hybrid(x, params):
+        from reconfigisp_tpu.ops import pallas_kernels
+        return getattr(pallas_kernels, pallas_name)(x, params)
+
+    def fwd(x, params):
+        return hybrid(x, params), (x, params)
+
+    def bwd(res, g):
+        x, params = res
+        _, vjp = jax.vjp(jnp_fn, x, params)
+        return vjp(g)
+
+    hybrid.defvjp(fwd, bwd)
+    return hybrid
+
+
 def bilateral(x, params, weights=None):
     """Bilateral filter (reference tools_origin.py:673-717, proxy-only there)."""
+    if _use_pallas(x):
+        return _bilateral_hybrid(x, params)
+    return _bilateral_jnp(x, params)
+
+
+def _bilateral_jnp(x, params):
     n, h, w, c = x.shape
     radius = _size01_to_radius(params[:, 0])  # (N,)
     sigma_color = (1.0 + 99.0 * params[:, 1])[:, None, None, None]
@@ -83,8 +134,15 @@ def median(x, params, weights=None):
     """Median filter (reference tools_origin.py:721-758, proxy-only there).
 
     Batch-uniform window selected with lax.switch over the 7 legal sizes —
-    static shapes per branch, one branch executed.
+    static shapes per branch, one branch executed.  TPU frames route to the
+    Pallas bisection kernel (exact to ~2^-14 of the value range).
     """
+    if _use_pallas(x):
+        return _median_hybrid(x, params)
+    return _median_jnp(x, params)
+
+
+def _median_jnp(x, params):
     idx = jnp.clip(jnp.floor(params[0, 0] * 7.0), 0, 6).astype(jnp.int32)
     branches = [lambda v, r=r: _median_fixed(v, r) for r in range(1, 8)]
     return jnp.clip(lax.switch(idx, branches, x), 0.0, 1.0)
@@ -107,29 +165,43 @@ def fastnlm(x, params, weights=None):
     Patch distances are box-filtered squared differences of shifted frames
     (the standard O(search^2) integral-image NLM); search offsets beyond the
     per-image search radius are masked out; the block (patch) size is
-    batch-uniform via lax.switch.
+    batch-uniform via lax.switch.  The 225 search taps run as a lax.fori_loop
+    with dynamic rolls — a fully unrolled tap loop inside the 7-way block
+    switch produced a ~50k-op HLO that took minutes to compile; the rolled
+    form compiles in seconds and the TPU hot path uses the Pallas kernel
+    instead (ops/pallas_kernels.py).
     """
+    if _use_pallas(x):
+        return _fastnlm_hybrid(x, params)
+    return _fastnlm_jnp(x, params)
+
+
+def _fastnlm_jnp(x, params):
     n, h, w, c = x.shape
     block_idx = jnp.clip(jnp.floor(params[0, 0] * 7.0), 0, 6).astype(jnp.int32)
     search_radius = _size01_to_radius(params[:, 1])  # (N,)
     hdecay = (1.0 + 99.0 * params[:, 2])[:, None, None, None]
     x255 = x * 255.0
     padded = _pad_reflect(x255, _MAX_R)
+    k = 2 * _MAX_R + 1
 
     def run(block_r):
-        num = jnp.zeros_like(x255)
-        den = jnp.zeros_like(x255)
         inv_h2 = 1.0 / (hdecay ** 2)
-        for dy in range(-_MAX_R, _MAX_R + 1):
-            for dx in range(-_MAX_R, _MAX_R + 1):
-                tap = padded[:, _MAX_R + dy:_MAX_R + dy + h,
-                             _MAX_R + dx:_MAX_R + dx + w, :]
-                d2 = _box_filter((tap - x255) ** 2, block_r)
-                include = (max(abs(dy), abs(dx)) <= search_radius)
-                include = include[:, None, None, None].astype(x.dtype)
-                wgt = include * jnp.exp(-d2 * inv_h2)
-                num = num + wgt * tap
-                den = den + wgt
+
+        def body(t, carry):
+            num, den = carry
+            dy = t // k - _MAX_R
+            dx = t % k - _MAX_R
+            rolled = jnp.roll(padded, (-dy, -dx), axis=(1, 2))
+            tap = rolled[:, _MAX_R:_MAX_R + h, _MAX_R:_MAX_R + w, :]
+            d2 = _box_filter((tap - x255) ** 2, block_r)
+            chess = jnp.maximum(jnp.abs(dy), jnp.abs(dx))
+            include = (chess <= search_radius)[:, None, None, None]
+            wgt = include.astype(x.dtype) * jnp.exp(-d2 * inv_h2)
+            return num + wgt * tap, den + wgt
+
+        num, den = lax.fori_loop(
+            0, k * k, body, (jnp.zeros_like(x255), jnp.zeros_like(x255)))
         return num / jnp.clip(den, 1e-8, None)
 
     out = lax.switch(block_idx, [lambda r=r: run(r) for r in range(1, 8)])
@@ -257,3 +329,10 @@ def dct_denoise(x, params, weights=None):
                          preferred_element_type=jnp.float32)[..., ::-1]
     out = x255 + blend * (den - x255)
     return jnp.clip(out / 255.0, 0.0, 1.0)
+
+
+# hybrid instances (Pallas forward / jnp-VJP backward); defined at module
+# bottom so the jnp implementations referenced in the backward passes exist
+_bilateral_hybrid = _make_hybrid("bilateral_pallas", lambda x, p: _bilateral_jnp(x, p))
+_median_hybrid = _make_hybrid("median_pallas", lambda x, p: _median_jnp(x, p))
+_fastnlm_hybrid = _make_hybrid("fastnlm_pallas", lambda x, p: _fastnlm_jnp(x, p))

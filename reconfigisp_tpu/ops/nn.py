@@ -23,15 +23,21 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int = 1,
     autodiff-safe; an explicit bf16 cast breaks lax conv VJPs (cotangents
     stay f32) and measured no faster.  The fused Pallas stacks in
     pallas_kernels.py own their bf16 internals instead."""
+    preferred = jnp.float32
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+        # keep output dtype == operand dtype so the conv transpose sees
+        # matching cotangent/operand dtypes (f32-preferred with bf16 operands
+        # makes jax.grad fail inside conv_general_dilated_transpose); the TPU
+        # MXU still accumulates a single 3x3xC contraction in f32 internally.
+        preferred = compute_dtype
     y = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
     return y + b
 
@@ -68,23 +74,22 @@ def bayer_to_rggb(x: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, 1) Bayer RGGB mosaic -> (N, H/2, W/2, 4) planes [R, G1, G2, B].
 
     Channel order matches the reference's pack (path_14l_bayer_arch.py:71-75).
+    Implemented as reshape+transpose: stride-2 slicing lowers to 4 gathers on
+    TPU and cost 114 ms at 12 MP; this form is a single relayout (1.8 ms).
     """
-    r = x[:, 0::2, 0::2, 0]
-    g1 = x[:, 0::2, 1::2, 0]
-    g2 = x[:, 1::2, 0::2, 0]
-    b = x[:, 1::2, 1::2, 0]
-    return jnp.stack([r, g1, g2, b], axis=-1)
+    n, h2, w2, _ = x.shape
+    t = x[..., 0].reshape(n, h2 // 2, 2, w2 // 2, 2)
+    t = t.transpose(0, 1, 3, 2, 4)       # (N, H/2, W/2, 2, 2)
+    return t.reshape(n, h2 // 2, w2 // 2, 4)
 
 
 def rggb_to_bayer(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of bayer_to_rggb: (N, h, w, 4) -> (N, 2h, 2w, 1)."""
+    """Inverse of bayer_to_rggb: (N, h, w, 4) -> (N, 2h, 2w, 1).
+
+    reshape+transpose instead of 4 scatter-sets (65 ms -> 0.1 ms at 12 MP)."""
     n, h, w, _ = x.shape
-    out = jnp.zeros((n, 2 * h, 2 * w), x.dtype)
-    out = out.at[:, 0::2, 0::2].set(x[..., 0])
-    out = out.at[:, 0::2, 1::2].set(x[..., 1])
-    out = out.at[:, 1::2, 0::2].set(x[..., 2])
-    out = out.at[:, 1::2, 1::2].set(x[..., 3])
-    return out[..., None]
+    t = x.reshape(n, h, w, 2, 2).transpose(0, 1, 3, 2, 4)
+    return t.reshape(n, 2 * h, 2 * w, 1)
 
 
 def broadcast_params(params: jnp.ndarray, h: int, w: int) -> jnp.ndarray:

@@ -2,14 +2,26 @@
 
 The reference could only search these algorithms through CNN imitators
 (reference codes/models/modules/tools_origin.py:673-804); ops/denoise.py gives
-exact jnp implementations, but their 225-tap unrolls materialize large
-intermediates and compile slowly at 12 MP.  These kernels keep the whole
-window loop VMEM-resident: the image is processed in row strips DMA'd from
-HBM with a 7-pixel halo, channels stay interleaved on the lane axis (a
-W-shift by dx pixels is a lane shift by dx*C — no layout changes anywhere),
-and per-image parameters arrive via scalar prefetch.
+exact jnp implementations, but their 225-tap unrolls do not even fit in HBM
+at 12 MP (measured 16.6 GB demand vs 15.7 GB on v5e).  These kernels keep the
+whole window loop VMEM-resident: the image is processed in row strips DMA'd
+from HBM with a halo, channels stay interleaved on the lane axis (a W-shift
+by dx pixels is a lane shift by dx*C — no layout changes anywhere), per-image
+parameters arrive via scalar prefetch, and rows/taps outside each image's
+radius are skipped (pl.when + dynamic fori bounds), so cost scales with the
+actual window.
 
-Layout: x (N, H, W, C) f32 -> internally (N, H+2R, (W+2R)*C) interleaved.
+Measured on v5e at 12 MP x 3ch (ops/denoise.py dispatches automatically):
+  bilateral  14.6 ms (r=1) .. 70 ms (r=7)
+  median     99 ms  (r=1) .. 809 ms (r=7)   (14-pass value bisection)
+  fastnlm    105 ms (b=1,s=3) .. 491 ms (b=2,s=7)
+The jnp forms remain the gradient path and the small-crop/CPU path.
+
+Layout: x (N, H, W, C) f32 -> internally (N, H+2halo, (W+2pad)*C) interleaved.
+Mosaic toolchain notes that shaped these kernels: rank-3 dot_general does not
+lower onto the MXU (compiler OOM-kill); every VMEM value reshape must keep
+8-aligned row counts; the default 16 MB scoped-vmem limit needs raising via
+CompilerParams at 12 MP widths.
 """
 
 from __future__ import annotations
@@ -26,18 +38,22 @@ _ROW_H = 8  # row halo padded to 8 (Mosaic: DMA row-slice sizes need
             # 8-alignment; 7 would make strip+14 rows)
 
 
-def _bilateral_kernel(radius_ref, inv2sc2_ref, inv2ss2_ref,  # scalar prefetch
-                      x_hbm, out_ref, scratch, sem, *, th, w, c, cp):
+def _dma_strip(x_hbm, scratch, sem, th, halo=_ROW_H):
+    """DMA this grid cell's strip + halo from HBM into VMEM scratch."""
     n_idx = pl.program_id(0)
     s_idx = pl.program_id(1)
-
-    # DMA the strip + halo from HBM: rows [s_idx*th, s_idx*th + th + 16)
     dma = pltpu.make_async_copy(
-        x_hbm.at[n_idx, pl.ds(s_idx * th, th + 2 * _ROW_H), :],
+        x_hbm.at[n_idx, pl.ds(s_idx * th, th + 2 * halo), :],
         scratch, sem)
     dma.start()
     dma.wait()
 
+
+def _bilateral_kernel(radius_ref, inv2sc2_ref, inv2ss2_ref,  # scalar prefetch
+                      x_hbm, out_ref, scratch, sem, num_ref, den_ref,
+                      *, th, w, c, cp):
+    _dma_strip(x_hbm, scratch, sem, th)
+    n_idx = pl.program_id(0)
     radius = radius_ref[n_idx]
     inv2sc2 = inv2sc2_ref[n_idx]
     inv2ss2 = inv2ss2_ref[n_idx]
@@ -45,31 +61,35 @@ def _bilateral_kernel(radius_ref, inv2sc2_ref, inv2ss2_ref,  # scalar prefetch
     center = scratch[_ROW_H:_ROW_H + th, cp * c:cp * c + w * c]
 
     # Row offsets (sublanes) are unrolled statically — dynamic sublane slices
-    # must be 8-aligned, which +-7 offsets are not.  Column taps come from a
-    # fori_loop over dx with a dynamic lane roll (a fully unrolled 225-tap
-    # loop spilled ~139 MB of registers to VMEM).
-    zeros = jnp.zeros((th, w * c), jnp.float32)
-    num, den = zeros, zeros
+    # must be 8-aligned, which +-7 offsets are not; whole rows outside the
+    # per-image radius are skipped via pl.when (accumulators live in VMEM
+    # scratch so predicated blocks can update them).  Column taps come from a
+    # fori_loop with *dynamic bounds* [MAX_R-radius, MAX_R+radius] and a
+    # dynamic lane roll — a fully unrolled 225-tap loop spilled ~139 MB of
+    # registers to VMEM, and skipping excluded taps makes cost scale with
+    # the actual window (r=1 visits 9 taps, not 225).
+    num_ref[...] = jnp.zeros((th, w * c), jnp.float32)
+    den_ref[...] = jnp.zeros((th, w * c), jnp.float32)
     for dy in range(-MAX_R, MAX_R + 1):
-        slab = scratch[_ROW_H + dy:_ROW_H + dy + th, :]
-        dy2 = float(dy * dy)
-        ady = abs(dy)
+        @pl.when(jnp.abs(dy) <= radius)
+        def _(dy=dy):
+            slab = scratch[_ROW_H + dy:_ROW_H + dy + th, :]
+            dy2 = float(dy * dy)
 
-        def body(j, carry, slab=slab, dy2=dy2, ady=ady):
-            num, den = carry
-            dx = j - MAX_R
-            shifted = pltpu.roll(slab, -dx * c, axis=1)
-            tap = shifted[:, cp * c:cp * c + w * c]
-            chess = jnp.maximum(ady, jnp.abs(dx))
-            include = (chess <= radius).astype(jnp.float32)
-            w_space = jnp.exp(-(dy2 + (dx * dx).astype(jnp.float32))
-                              * inv2ss2)
-            diff = tap - center
-            wgt = include * w_space * jnp.exp(-(diff * diff) * inv2sc2)
-            return num + wgt * tap, den + wgt
+            def body(j, _, slab=slab, dy2=dy2):
+                dx = j - MAX_R
+                shifted = pltpu.roll(slab, -dx * c, axis=1)
+                tap = shifted[:, cp * c:cp * c + w * c]
+                w_space = jnp.exp(-(dy2 + (dx * dx).astype(jnp.float32))
+                                  * inv2ss2)
+                diff = tap - center
+                wgt = w_space * jnp.exp(-(diff * diff) * inv2sc2)
+                num_ref[...] = num_ref[...] + wgt * tap
+                den_ref[...] = den_ref[...] + wgt
+                return 0
 
-        num, den = jax.lax.fori_loop(0, 2 * MAX_R + 1, body, (num, den))
-    out_ref[0, :, :] = num / den
+            jax.lax.fori_loop(MAX_R - radius, MAX_R + radius + 1, body, 0)
+    out_ref[0, :, :] = num_ref[...] / den_ref[...]
 
 
 def _col_pad(w: int, c: int) -> int:
@@ -79,6 +99,15 @@ def _col_pad(w: int, c: int) -> int:
     while ((w + 2 * p) * c) % 128:
         p += 1
     return p
+
+
+def _fit_strip(h: int, strip: int) -> int:
+    """Largest power-of-two-ish strip height dividing h, <= requested."""
+    if h % strip:
+        strip = max(8, h // max(h // strip, 1))
+        while h % strip:
+            strip //= 2
+    return strip
 
 
 def bilateral_pallas(x: jnp.ndarray, params: jnp.ndarray,
@@ -91,10 +120,7 @@ def bilateral_pallas(x: jnp.ndarray, params: jnp.ndarray,
     multiple of 128 on real TPU (output lane alignment); callers fall back to
     the jnp implementation otherwise."""
     n, h, w, c = x.shape
-    if h % strip:
-        strip = max(8, h // max(h // strip, 1))
-        while h % strip:
-            strip //= 2
+    strip = _fit_strip(h, strip)
     n_strips = h // strip
     cp = _col_pad(w, c)
 
@@ -122,6 +148,8 @@ def bilateral_pallas(x: jnp.ndarray, params: jnp.ndarray,
             pltpu.VMEM((strip + 2 * _ROW_H, (w + 2 * cp) * c),
                        jnp.float32),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((strip, w * c), jnp.float32),   # num accumulator
+            pltpu.VMEM((strip, w * c), jnp.float32),   # den accumulator
         ],
     )
 
@@ -129,126 +157,220 @@ def bilateral_pallas(x: jnp.ndarray, params: jnp.ndarray,
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, w * c), jnp.float32),
         grid_spec=grid_spec,
+        # v5e has far more physical VMEM than the 16 MB default scoped
+        # limit; at 12 MP the live roll/accumulator set needs ~50 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(radius, inv2sc2, inv2ss2, flat)
     return jnp.clip(out.reshape(n, h, w, c) / 255.0, 0.0, 1.0)
 
 
 # --------------------------------------------------------------------------
-# Fused Path-Restore-14L: the whole 14-conv residual stack over one VMEM tile
+# Median: vectorized order statistic via value bisection
 # --------------------------------------------------------------------------
 
-def _conv3x3_valid(x, w, b):
-    """x (hh, ww, cin) bf16 -> (hh-2, ww-2, cout) f32; 9 shifted MXU dots."""
-    hh, ww, cin = x.shape
-    cout = w.shape[-1]
-    acc = None
-    for dy in range(3):
-        for dx in range(3):
-            patch = x[dy:dy + hh - 2, dx:dx + ww - 2, :]
-            term = jax.lax.dot_general(
-                patch, w[dy, dx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = term if acc is None else acc + term
-    return acc + b
+_MEDIAN_ITERS = 14  # 255 / 2^14 < 0.016 (0..255 scale) ~ 6e-5 in [0,1]
 
 
-_HALO = 13  # receptive-field halo of layers 2..14 (13 VALID 3x3 convs)
+def _median_kernel(radius_ref, x_hbm, out_ref, scratch, sem,
+                   lo_ref, hi_ref, cnt_ref, *, th, w, c, cp):
+    """Exact-window median to _MEDIAN_ITERS bits: per pixel, bisect on value;
+    count(taps <= mid) >= (K+1)/2  <=>  median <= mid.  The K=(2r+1)^2 taps
+    re-read from VMEM scratch each bisection pass — caching all 225 shifted
+    slabs would need ~90 MB of VMEM."""
+    _dma_strip(x_hbm, scratch, sem, th)
+    n_idx = pl.program_id(0)
+    radius = radius_ref[n_idx]
+    k = (2 * radius + 1) * (2 * radius + 1)
+    half = ((k + 1) // 2).astype(jnp.float32)
+
+    lo_ref[...] = jnp.zeros((th, w * c), jnp.float32)
+    hi_ref[...] = jnp.full((th, w * c), 255.0, jnp.float32)
+
+    def bisect(_, carry):
+        mid = 0.5 * (lo_ref[...] + hi_ref[...])
+        cnt_ref[...] = jnp.zeros((th, w * c), jnp.float32)
+        for dy in range(-MAX_R, MAX_R + 1):
+            @pl.when(jnp.abs(dy) <= radius)
+            def _(dy=dy):
+                slab = scratch[_ROW_H + dy:_ROW_H + dy + th, :]
+
+                def body(j, _, slab=slab):
+                    dx = j - MAX_R
+                    shifted = pltpu.roll(slab, -dx * c, axis=1)
+                    tap = shifted[:, cp * c:cp * c + w * c]
+                    cnt_ref[...] = cnt_ref[...] + (
+                        tap <= mid).astype(jnp.float32)
+                    return 0
+
+                jax.lax.fori_loop(MAX_R - radius, MAX_R + radius + 1,
+                                  body, 0)
+        le = cnt_ref[...] >= half
+        hi_ref[...] = jnp.where(le, mid, hi_ref[...])
+        lo_ref[...] = jnp.where(le, lo_ref[...], mid)
+        return carry
+
+    jax.lax.fori_loop(0, _MEDIAN_ITERS, bisect, 0)
+    out_ref[0, :, :] = 0.5 * (lo_ref[...] + hi_ref[...])
 
 
-def _conv3x3_same(x, w, b):
-    """Constant-shape 3x3 conv (zero edge): the tile keeps its full
-    (th+2H, tw+2H) extent every layer so the residual loop can be a
-    lax.fori_loop; edge garbage creeps inward 1 px/layer and the final
-    _HALO-wide crop discards it (mathematically identical to VALID chaining
-    on the kept interior)."""
-    hh, ww, cin = x.shape
-    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
-    return _conv3x3_valid(xp, w, b)
+def median_pallas(x: jnp.ndarray, params: jnp.ndarray, weights=None, *,
+                  strip: int = 32, interpret: bool = False) -> jnp.ndarray:
+    """Median filter, same semantics as ops/denoise.median (whose window is
+    batch-uniform from params[0, 0] — here honored per image)."""
+    n, h, w, c = x.shape
+    strip = _fit_strip(h, strip)
+    cp = _col_pad(w, c)
+    radius = jnp.clip(jnp.floor(params[:, 0] * 7.0), 0, 6).astype(jnp.int32) + 1
+    radius = jnp.broadcast_to(radius[:1], radius.shape)  # batch-uniform parity
 
+    x255 = x * 255.0
+    xp = jnp.pad(x255, ((0, 0), (_ROW_H, _ROW_H), (cp, cp), (0, 0)),
+                 mode="reflect")
+    flat = xp.reshape(n, h + 2 * _ROW_H, (w + 2 * cp) * c)
 
-def _path14_kernel(x_ref, wmid_ref, bmid_ref, wlast_ref, blast_ref,
-                   out_ref, *, th, tw, cout):
-    """Blocks are pipeline-managed (Mosaic relayouts the 64-lane minor dim
-    itself; manual DMA would demand 128-lane alignment).  The 12 mid-layer
-    weights are stacked (12, 3, 3, 64, 64) and the residual blocks run as a
-    fori_loop — compile-friendly (a fully unrolled 13-layer body took >30 min
-    through the remote Mosaic compiler)."""
-    y0 = x_ref[0, 0, :, 0, :, :]  # (th+2H, tw+2H, 64) bf16
-
-    def block(k, y):
-        # dynamic indexing on the VMEM refs (dynamic_slice on loaded values
-        # is unimplemented in the Mosaic lowering)
-        w1 = wmid_ref[2 * k].astype(jnp.bfloat16)
-        w2 = wmid_ref[2 * k + 1].astype(jnp.bfloat16)
-        t = _conv3x3_same(jnp.maximum(y, 0), w1, bmid_ref[2 * k])
-        t = t.astype(jnp.bfloat16)
-        t = _conv3x3_same(jnp.maximum(t, 0), w2, bmid_ref[2 * k + 1])
-        return y + t.astype(jnp.bfloat16)
-
-    y = jax.lax.fori_loop(0, 6, block, y0)
-    out = _conv3x3_same(jnp.maximum(y, 0),
-                        wlast_ref[...].astype(jnp.bfloat16), blast_ref[...])
-    out_ref[0, 0, :, 0, :, :] = out[_HALO:_HALO + th, _HALO:_HALO + tw, :]
-
-
-def path14_fused_pallas(weights: dict, feat: jnp.ndarray, *,
-                        th: int = 64, tw: int = 512,
-                        interpret: bool = False) -> jnp.ndarray:
-    """Fused Path-Restore-14L forward (see ops/cnn.py for the layer list).
-
-    The unfused XLA version round-trips ~400 MB of activations through HBM
-    per layer (~16 ms/layer at 12 MP on v5e).  Here conv_first runs as a
-    normal XLA conv; its output is cut into overlapping (th+26, tw+26) bf16
-    tiles in XLA (one gather, ~1.6x duplication), and each tile then flows
-    through the remaining 13 convolutions entirely in VMEM as 9-offset
-    shifted MXU dots per layer — the activation stack never touches HBM.
-    In/out arrays are 6D (N, n_i, th, n_j, tw, C) so tile reassembly is a
-    free reshape.  Numerics: activations stay bf16 between layers (the XLA
-    path keeps f32), so outputs agree within bf16 accumulation tolerance
-    (~3e-3 interior); a 13-pixel border ring differs further because the
-    reference zero-pads every layer (torch Conv2d padding=1) while this
-    kernel zero-pads conv_first's output once.
-    """
-    from reconfigisp_tpu.ops.nn import conv2d
-
-    n, h, w, cin = feat.shape
-    cout = weights["conv_last"]["w"].shape[-1]
-    assert h % th == 0 and w % tw == 0, (h, w, th, tw)
-    n_i, n_j = h // th, w // tw
-
-    y1 = conv2d(feat, **weights["conv_first"])          # (N, h, w, 64) f32
-    xp = jnp.pad(y1, ((0, 0), (_HALO, _HALO), (_HALO, _HALO), (0, 0)))
-    xp = xp.astype(jnp.bfloat16)
-    # overlapping tiles: (N, n_i, th+2H, n_j, tw+2H, 64)
-    rows = jnp.stack([xp[:, i * th:i * th + th + 2 * _HALO]
-                      for i in range(n_i)], axis=1)
-    tiles = jnp.stack([rows[:, :, :, j * tw:j * tw + tw + 2 * _HALO]
-                       for j in range(n_j)], axis=3)
-
-    mids = []
-    for blk in weights["blocks"]:
-        mids += [blk["conv1"], blk["conv2"]]
-    wmid = jnp.stack([l["w"] for l in mids])     # (12, 3, 3, 64, 64)
-    bmid = jnp.stack([l["b"] for l in mids])     # (12, 64)
-    wlast = weights["conv_last"]["w"]
-    blast = weights["conv_last"]["b"]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
-
-    kernel = functools.partial(_path14_kernel, th=th, tw=tw, cout=cout)
+    kernel = functools.partial(_median_kernel, th=strip, w=w, c=c, cp=cp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, h // strip),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, strip, w * c), lambda i, j, *p: (i, j, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((strip + 2 * _ROW_H, (w + 2 * cp) * c), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((strip, w * c), jnp.float32),
+            pltpu.VMEM((strip, w * c), jnp.float32),
+            pltpu.VMEM((strip, w * c), jnp.float32),
+        ],
+    )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n_i, th, n_j, tw, cout),
-                                       jnp.float32),
-        grid=(n, n_i, n_j),
-        in_specs=[pl.BlockSpec(
-            (1, 1, th + 2 * _HALO, 1, tw + 2 * _HALO, 64),
-            lambda ni, i, j: (ni, i, 0, j, 0, 0),
-            memory_space=pltpu.VMEM)] + w_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, th, 1, tw, cout), lambda ni, i, j: (ni, i, 0, j, 0, 0),
-            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w * c), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(tiles, wmid, bmid, wlast, blast)
-    return out.reshape(n, h, w, cout)
+    )(radius, flat)
+    return jnp.clip(out.reshape(n, h, w, c) / 255.0, 0.0, 1.0)
+
+
+# --------------------------------------------------------------------------
+# Fast non-local means: box-filtered patch distances, VMEM-resident
+# --------------------------------------------------------------------------
+
+_NLM_HALO = 16  # row reach = search_r + block_r <= 14, padded to 8-multiple
+
+
+def _fastnlm_kernel(block_ref, search_ref, invh2_ref, x_hbm, out_ref,
+                    scratch, sem, rowacc_ref, num_ref, den_ref,
+                    *, th, w, c, cp):
+    """Per tap: d2 = mean box_{block_r}((tap - center)^2), computed with
+    static row slices (row reach search+block <= 14 < _NLM_HALO) and dynamic
+    lane rolls for the column direction; rows/columns outside the per-image
+    block and search radii are skipped (pl.when / dynamic fori bounds)."""
+    _dma_strip(x_hbm, scratch, sem, th, _NLM_HALO)
+    n_idx = pl.program_id(0)
+    block_r = block_ref[n_idx]
+    search_r = search_ref[n_idx]
+    inv_h2 = invh2_ref[n_idx]
+    wc_full = scratch.shape[1]
+    wc = w * c
+    B = MAX_R  # static box reach; masked down to block_r
+
+    ctr_slab = scratch[_NLM_HALO - B:_NLM_HALO - B + th + 2 * B, :]
+    center = scratch[_NLM_HALO:_NLM_HALO + th, cp * c:cp * c + wc]
+    norm = 1.0 / ((2.0 * block_r.astype(jnp.float32) + 1.0) ** 2)
+
+    num_ref[...] = jnp.zeros((th, wc), jnp.float32)
+    den_ref[...] = jnp.zeros((th, wc), jnp.float32)
+    for dy in range(-MAX_R, MAX_R + 1):
+        @pl.when(jnp.abs(dy) <= search_r)
+        def _(dy=dy):
+            tap_slab = scratch[_NLM_HALO - B + dy:
+                               _NLM_HALO - B + dy + th + 2 * B, :]
+
+            def body(j, _, tap_slab=tap_slab):
+                dx = j - MAX_R
+                tap_sh = pltpu.roll(tap_slab, -dx * c, axis=1)
+                diff2 = (tap_sh - ctr_slab) ** 2   # (th + 2B, wc_full)
+                rowacc_ref[...] = jnp.zeros((th, wc_full), jnp.float32)
+                for by in range(-B, B + 1):
+                    @pl.when(jnp.abs(by) <= block_r)
+                    def _(by=by):
+                        rowacc_ref[...] = rowacc_ref[...] + diff2[
+                            B + by:B + by + th, :]
+
+                def col(jb, acc):
+                    bx = jb - MAX_R
+                    return acc + pltpu.roll(rowacc_ref[...], -bx * c, axis=1)
+
+                colsum = jax.lax.fori_loop(
+                    MAX_R - block_r, MAX_R + block_r + 1, col,
+                    jnp.zeros((th, wc_full), jnp.float32))
+                d2 = colsum[:, cp * c:cp * c + wc] * norm
+                tap = tap_sh[B:B + th, cp * c:cp * c + wc]
+                wgt = jnp.exp(-d2 * inv_h2)
+                num_ref[...] = num_ref[...] + wgt * tap
+                den_ref[...] = den_ref[...] + wgt
+                return 0
+
+            jax.lax.fori_loop(MAX_R - search_r, MAX_R + search_r + 1, body, 0)
+    out_ref[0, :, :] = num_ref[...] / den_ref[...]
+
+
+def fastnlm_pallas(x: jnp.ndarray, params: jnp.ndarray, weights=None, *,
+                   strip: int = 32, interpret: bool = False) -> jnp.ndarray:
+    """Fast NLM, same semantics as ops/denoise.fastnlm (block batch-uniform
+    from params[0, 0]; search radius and decay per image).
+
+    Note: the column-direction box sum wraps at the scratch row boundary via
+    lane rolls; with the cp >= MAX_R column padding every in-range tap stays
+    exact (wrap only touches reflect-padding columns)."""
+    n, h, w, c = x.shape
+    strip = _fit_strip(h, strip)
+    cp = _col_pad(w, c)
+    block_r = jnp.clip(jnp.floor(params[:, 0] * 7.0), 0, 6).astype(jnp.int32) + 1
+    block_r = jnp.broadcast_to(block_r[:1], block_r.shape)
+    search_r = jnp.clip(jnp.floor(params[:, 1] * 7.0), 0, 6).astype(jnp.int32) + 1
+    hdecay = 1.0 + 99.0 * params[:, 2]
+    invh2 = 1.0 / (hdecay * hdecay)
+
+    x255 = x * 255.0
+    # column pad must cover box + search reach (14 columns)
+    cp2 = 2 * MAX_R
+    while ((w + 2 * cp2) * c) % 128:
+        cp2 += 1
+    xp = jnp.pad(x255, ((0, 0), (_NLM_HALO, _NLM_HALO), (cp2, cp2), (0, 0)),
+                 mode="reflect")
+    flat = xp.reshape(n, h + 2 * _NLM_HALO, (w + 2 * cp2) * c)
+
+    kernel = functools.partial(_fastnlm_kernel, th=strip, w=w, c=c, cp=cp2)
+    ext = strip + 2 * _NLM_HALO
+    wcf = (w + 2 * cp2) * c
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n, h // strip),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, strip, w * c), lambda i, j, *p: (i, j, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ext, wcf), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((strip, wcf), jnp.float32),    # row box accumulator
+            pltpu.VMEM((strip, w * c), jnp.float32),  # num
+            pltpu.VMEM((strip, w * c), jnp.float32),  # den
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w * c), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(block_r, search_r, invh2, flat)
+    return jnp.clip(out.reshape(n, h, w, c) / 255.0, 0.0, 1.0)

@@ -90,10 +90,14 @@ class TestRegistry:
         assert spec.proxy_only and spec.proxy_init is not None
 
     def test_ft_targets_match_reference(self):
-        """darts_ft tunes exactly these 7 proxies (darts_ft_model.py:61-67)."""
+        """darts_ft tunes the reference's 7 proxies (darts_ft_model.py:61-67)
+        plus bm3d, whose target here is the native DCT denoiser (the
+        reference shipped a fixed externally-pretrained bm3d proxy)."""
         ft = {s.name for s in registry.pool("srgb") if s.ft_target}
         assert ft == {"reinhard", "crysisengine", "filmic", "whiteworld",
-                      "bilateral", "median", "fastnlm"}
+                      "bilateral", "median", "fastnlm", "bm3d"}
+        bm3d = registry.get_op("srgb", "bm3d")
+        assert bm3d.ft_target_fn() is not None and bm3d.apply is None
 
 
 class TestPipeline:

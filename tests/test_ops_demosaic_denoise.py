@@ -1,11 +1,21 @@
 """Tests for demosaic kernels and the native denoise implementations."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from reconfigisp_tpu.ops import demosaic, denoise
 from reconfigisp_tpu.ops.nn import bayer_to_rggb, rggb_to_bayer
+
+# jit the 225-tap unrolled ops: eagerly they pay ~0.2 s/dispatch in this
+# environment (the whole file went from >400 s to seconds)
+_median = jax.jit(denoise.median)
+_bilateral = jax.jit(denoise.bilateral)
+_fastnlm = jax.jit(denoise.fastnlm)
+_dnearest = jax.jit(demosaic.demosaic_nearest)
+_dbilinear = jax.jit(demosaic.demosaic_bilinear)
+_dmalvar = jax.jit(demosaic.demosaic_malvar)
 
 
 def _mosaic_from_rgb(rgb):
@@ -20,18 +30,14 @@ def _mosaic_from_rgb(rgb):
 
 
 class TestDemosaic:
-    @pytest.mark.parametrize("fn", [demosaic.demosaic_nearest,
-                                    demosaic.demosaic_bilinear,
-                                    demosaic.demosaic_malvar])
+    @pytest.mark.parametrize("fn", [_dnearest, _dbilinear, _dmalvar])
     def test_constant_image_exact(self, fn):
         """A flat gray scene must demosaic to the same flat gray."""
         rgb = np.full((16, 16, 3), 0.42, np.float32)
         out = np.asarray(fn(_mosaic_from_rgb(rgb)))
         np.testing.assert_allclose(out, 0.42, atol=1e-5)
 
-    @pytest.mark.parametrize("fn", [demosaic.demosaic_nearest,
-                                    demosaic.demosaic_bilinear,
-                                    demosaic.demosaic_malvar])
+    @pytest.mark.parametrize("fn", [_dnearest, _dbilinear, _dmalvar])
     def test_constant_color_channels(self, fn):
         """Flat but chromatic scene: channels must land in BGR order."""
         rgb = np.zeros((16, 16, 3), np.float32)
@@ -49,8 +55,8 @@ class TestDemosaic:
         rgb = np.stack([lum, lum, lum], -1)
         mosaic = _mosaic_from_rgb(rgb)
         gt_bgr = jnp.asarray(rgb[None])  # gray: BGR == RGB
-        err_b = float(jnp.mean((demosaic.demosaic_bilinear(mosaic) - gt_bgr)[0, 4:-4, 4:-4] ** 2))
-        err_m = float(jnp.mean((demosaic.demosaic_malvar(mosaic) - gt_bgr)[0, 4:-4, 4:-4] ** 2))
+        err_b = float(jnp.mean((_dbilinear(mosaic) - gt_bgr)[0, 4:-4, 4:-4] ** 2))
+        err_m = float(jnp.mean((_dmalvar(mosaic) - gt_bgr)[0, 4:-4, 4:-4] ** 2))
         assert err_m <= err_b + 1e-9
 
     def test_rggb_pack_roundtrip(self, bayer_batch):
@@ -67,7 +73,7 @@ class TestDenoise:
     def test_median_removes_impulse(self):
         x = np.full((1, 16, 16, 3), 0.5, np.float32)
         x[0, 8, 8, :] = 1.0
-        out = np.asarray(denoise.median(jnp.asarray(x), _p(1, [0.0])))  # 3x3
+        out = np.asarray(_median(jnp.asarray(x), _p(1, [0.0])))  # 3x3
         np.testing.assert_allclose(out, 0.5, atol=1e-6)
 
     def test_median_window_from_param(self):
@@ -75,8 +81,8 @@ class TestDenoise:
         # a 3-wide stripe survives a 3x3 median but not a 7x7 one
         x = np.zeros((1, 16, 16, 1), np.float32)
         x[0, :, 7:10, 0] = 1.0
-        small = np.asarray(denoise.median(jnp.asarray(x), _p(1, [0.0])))
-        big = np.asarray(denoise.median(jnp.asarray(x), _p(1, [2.5 / 7.0])))
+        small = np.asarray(_median(jnp.asarray(x), _p(1, [0.0])))
+        big = np.asarray(_median(jnp.asarray(x), _p(1, [2.5 / 7.0])))
         assert small[0, 8, 8, 0] == 1.0
         assert big[0, 8, 8, 0] == 0.0
 
@@ -84,7 +90,7 @@ class TestDenoise:
         x = np.zeros((1, 16, 16, 1), np.float32)
         x[0, :, 8:, 0] = 1.0
         noisy = np.clip(x + rng.normal(0, 0.05, x.shape).astype(np.float32), 0, 1)
-        out = np.asarray(denoise.bilateral(
+        out = np.asarray(_bilateral(
             jnp.asarray(noisy), _p(1, [0.3, 0.15, 0.5])))
         # noise reduced on flats
         assert out[0, :, :4, 0].std() < noisy[0, :, :4, 0].std() * 0.7
@@ -94,13 +100,13 @@ class TestDenoise:
     def test_bilateral_window_mask(self, rng):
         """Radius mask: tiny window ~ no-op on smooth data vs large window."""
         noisy = rng.uniform(0.3, 0.7, (1, 16, 16, 1)).astype(np.float32)
-        small = np.asarray(denoise.bilateral(jnp.asarray(noisy), _p(1, [0.0, 0.9, 0.9])))
-        large = np.asarray(denoise.bilateral(jnp.asarray(noisy), _p(1, [1.0, 0.9, 0.9])))
+        small = np.asarray(_bilateral(jnp.asarray(noisy), _p(1, [0.0, 0.9, 0.9])))
+        large = np.asarray(_bilateral(jnp.asarray(noisy), _p(1, [1.0, 0.9, 0.9])))
         assert large.std() < small.std()
 
     def test_nlm_denoises(self, rng):
         clean = np.full((1, 16, 16, 1), 0.5, np.float32)
         noisy = np.clip(clean + rng.normal(0, 0.08, clean.shape).astype(np.float32), 0, 1)
-        out = np.asarray(denoise.fastnlm(
+        out = np.asarray(_fastnlm(
             jnp.asarray(noisy), _p(1, [0.1, 0.5, 0.3])))
         assert np.abs(out - clean).mean() < np.abs(noisy - clean).mean() * 0.6

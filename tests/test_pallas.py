@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from reconfigisp_tpu.ops import denoise
-from reconfigisp_tpu.ops.pallas_kernels import bilateral_pallas
+from reconfigisp_tpu.ops.pallas_kernels import (
+    bilateral_pallas, median_pallas, fastnlm_pallas)
 
 
 class TestBilateralPallas:
@@ -31,6 +32,62 @@ class TestBilateralPallas:
         ref = denoise.bilateral(x, p)
         out = bilateral_pallas(x, p, strip=16, interpret=True)  # 24 % 16 != 0
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestMedianPallas:
+    def test_matches_jnp_reference(self, rng):
+        """Bisection median vs exact sort median (precision 2^-14 of range)."""
+        x = jnp.asarray(rng.uniform(0.05, 0.95, (2, 32, 32, 3)).astype(np.float32))
+        p = jnp.asarray([[0.3], [0.3]], jnp.float32)
+        ref = denoise._median_jnp(x, p)
+        out = median_pallas(x, p, strip=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_impulse_removed(self, rng):
+        x = np.full((1, 16, 16, 1), 0.5, np.float32)
+        x[0, 8, 8, 0] = 1.0
+        out = np.asarray(median_pallas(
+            jnp.asarray(x), jnp.asarray([[0.0]], jnp.float32),
+            strip=8, interpret=True))
+        np.testing.assert_allclose(out, 0.5, atol=1e-4)
+
+
+class TestFastnlmPallas:
+    def test_matches_jnp_interior(self, rng):
+        """Box-padding semantics differ at the frame border (kernel boxes
+        reflected-image diffs, jnp boxes reflected diffs); interiors match."""
+        x = jnp.asarray(rng.uniform(0.05, 0.95, (2, 32, 32, 3)).astype(np.float32))
+        p = jnp.asarray([[0.15, 0.3, 0.3], [0.15, 0.6, 0.5]], jnp.float32)
+        ref = denoise._fastnlm_jnp(x, p)
+        out = fastnlm_pallas(x, p, strip=16, interpret=True)
+        m = 10
+        np.testing.assert_allclose(np.asarray(out)[:, m:-m, m:-m],
+                                   np.asarray(ref)[:, m:-m, m:-m], atol=2e-5)
+
+    def test_denoises(self, rng):
+        clean = np.full((1, 16, 16, 1), 0.5, np.float32)
+        noisy = np.clip(clean + rng.normal(0, 0.08, clean.shape)
+                        .astype(np.float32), 0, 1)
+        out = np.asarray(fastnlm_pallas(
+            jnp.asarray(noisy), jnp.asarray([[0.1, 0.5, 0.3]], jnp.float32),
+            strip=8, interpret=True))
+        assert np.abs(out - clean).mean() < np.abs(noisy - clean).mean() * 0.6
+
+
+class TestHybridDispatch:
+    def test_small_or_cpu_uses_jnp(self, rng):
+        """On CPU the dispatcher must never pick the Pallas path."""
+        x = jnp.asarray(rng.uniform(0.1, 0.9, (1, 1024, 1024, 3))
+                        .astype(np.float32)[:, :16, :16])
+        assert not denoise._use_pallas(x)
+
+    def test_grads_flow_through_dispatcher(self, rng):
+        x = jnp.asarray(rng.uniform(0.1, 0.9, (1, 16, 16, 3)).astype(np.float32))
+        p = jnp.asarray([[0.3, 0.2, 0.5]], jnp.float32)
+        g = jax.grad(lambda p_: jnp.sum(denoise.bilateral(x, p_)))(p)
+        assert np.isfinite(np.asarray(g)).all()
+        gx = jax.grad(lambda x_: jnp.sum(denoise.fastnlm(x_, p)))(x)
+        assert np.isfinite(np.asarray(gx)).all()
 
 
 class TestLatencyCalibration:

@@ -97,16 +97,20 @@ class TestSuperNet:
         assert parse_architecture(arch)  # round-trips
 
 
-class TestDartsStep:
-    def _setup(self, key, use_proxies=False):
-        net = _small_net(use_proxies=use_proxies)
-        v = net.init(key)
-        opt = init_darts_opt_state(v)
-        cfg = DartsConfig(lr_theta=1e-2, lr_alpha=1e-2, lr_meta=1e-2)
-        crit = lambda pred, target, latency=None: losses.l2(pred, target)
-        step = jax.jit(make_darts_step(_forward(net), crit, cfg))
-        return net, v, opt, step
+@pytest.fixture(scope="module")
+def darts_setup():
+    """One compiled darts step shared across the step tests — each fresh
+    jit closure costs ~35 s of CPU compile in this environment."""
+    net = _small_net()
+    v = net.init(jax.random.PRNGKey(0))
+    opt = init_darts_opt_state(v)
+    cfg = DartsConfig(lr_theta=1e-2, lr_alpha=1e-2, lr_meta=1e-2)
+    crit = lambda pred, target, latency=None: losses.l2(pred, target)
+    step = jax.jit(make_darts_step(_forward(net), crit, cfg))
+    return net, v, opt, step
 
+
+class TestDartsStep:
     def _batch(self, rng, n=2, s=16):
         mk = lambda: jnp.asarray(
             rng.uniform(0.1, 0.9, (n, s, s, 1)).astype(np.float32))
@@ -114,8 +118,8 @@ class TestDartsStep:
             rng.uniform(0.1, 0.9, (n, s, s, 3)).astype(np.float32))
         return {"img": mk(), "gt": gt(), "val_img": mk(), "val_gt": gt()}
 
-    def test_step_runs_and_updates(self, key, rng):
-        net, v, opt, step = self._setup(key)
+    def test_step_runs_and_updates(self, darts_setup, rng):
+        net, v, opt, step = darts_setup
         batch = self._batch(rng)
         v2, opt2, logs = step(v, opt, batch, 1.0)
         assert np.isfinite(float(logs["loss"]))
@@ -134,8 +138,8 @@ class TestDartsStep:
                         jax.tree.leaves(v2["omega"])):
             np.testing.assert_array_equal(a, b)
 
-    def test_loss_decreases_over_steps(self, key, rng):
-        net, v, opt, step = self._setup(key)
+    def test_loss_decreases_over_steps(self, darts_setup, rng):
+        net, v, opt, step = darts_setup
         batch = self._batch(rng)
         first = None
         for i in range(8):
@@ -144,8 +148,8 @@ class TestDartsStep:
                 first = float(logs["loss"])
         assert float(logs["loss"]) < first
 
-    def test_momentum_buffer_updates(self, key, rng):
-        net, v, opt, step = self._setup(key)
+    def test_momentum_buffer_updates(self, darts_setup, rng):
+        net, v, opt, step = darts_setup
         batch = self._batch(rng)
         _, opt2, _ = step(v, opt, batch, 1.0)
         assert int(opt2["adam_t"]) == 1
@@ -153,8 +157,8 @@ class TestDartsStep:
                       for l in jax.tree.leaves(opt2["momentum"]))
         assert nonzero
 
-    def test_lr_scale_zero_freezes(self, key, rng):
-        net, v, opt, step = self._setup(key)
+    def test_lr_scale_zero_freezes(self, darts_setup, rng):
+        net, v, opt, step = darts_setup
         batch = self._batch(rng)
         v2, _, _ = step(v, opt, batch, 0.0)
         for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
