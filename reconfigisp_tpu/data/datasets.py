@@ -166,9 +166,197 @@ class SyntheticDetectionDataset(SyntheticRawDataset):
                 "gt": gt, "label": labels}
 
 
+class PairRecordDataset:
+    """meta_info-indexed raw/GT pair dataset over any storage backend.
+
+    Re-design of SidSonyRatioRggb2BgrDataset / S7isp counterparts (reference
+    sid_sony_ratio_rggb2bgr_dataset.py:20-139): keys come from
+    meta_info.pkl's keys_noisy|keys_ratio / keys_gt lists; records are read
+    through data/backends.py (packed memmap, lmdb, or files); crops are
+    RGGB-aligned; uint16 raws divide by `white_level` (16383 SID 14-bit,
+    1023 S7 10-bit), uint8 GTs by 255.
+
+    Exposure-time selection matches the reference (sid...py:50-58): keep
+    only pairs whose noisy key contains `expo_in` and GT key contains
+    `expo_gt` (e.g. '0.1s' / '10s'); the per-pair exposure-ratio scaling
+    itself is baked into the stored 'ratio' records by preprocessing, as in
+    the reference's offline stage.
+    """
+
+    def __init__(self, root: str, data_size: Optional[int] = None,
+                 white_level: float = 16383.0, seed: int = 0,
+                 is_train: bool = True, data_type: Optional[str] = None,
+                 expo_in: Optional[str] = None,
+                 expo_gt: Optional[str] = None):
+        from reconfigisp_tpu.data.backends import open_backend
+        self.reader, meta = open_backend(root, data_type)
+        if meta is None:
+            raise ValueError(f"{root} has no meta_info.pkl index")
+        self.keys_noisy = list(meta.get("keys_ratio")
+                               or meta.get("keys_noisy"))
+        self.keys_gt = list(meta["keys_gt"])
+        if expo_in is not None or expo_gt is not None:
+            pairs = [(kn, kg) for kn, kg
+                     in zip(self.keys_noisy, self.keys_gt)
+                     if (expo_in or "") in kn and (expo_gt or "") in kg]
+            self.keys_noisy = [p[0] for p in pairs]
+            self.keys_gt = [p[1] for p in pairs]
+        if not self.keys_noisy:
+            raise ValueError(f"no pairs selected from {root}")
+        self.data_size = data_size
+        self.white_level = white_level
+        self.is_train = is_train
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.keys_noisy)
+
+    @staticmethod
+    def _to01(arr: np.ndarray, white: float) -> np.ndarray:
+        if arr.dtype == np.uint8:
+            return arr.astype(np.float32) / 255.0
+        if arr.dtype in (np.uint16, np.int16):
+            return arr.astype(np.float32) / white
+        return arr.astype(np.float32)
+
+    def __getitem__(self, idx: int) -> dict:
+        noisy = self._to01(self.reader.read(self.keys_noisy[idx]),
+                           self.white_level)
+        gt = self._to01(self.reader.read(self.keys_gt[idx]), 255.0)
+        if noisy.ndim == 2:
+            noisy = noisy[..., None]
+        if self.data_size and self.is_train:
+            s = self.data_size
+            rng = np.random.default_rng(self.seed * 7919 + idx)
+            h, w = noisy.shape[:2]
+            y0 = int(rng.integers(0, max(h - s, 1) // 2 + 1)) * 2
+            x0 = int(rng.integers(0, max(w - s, 1) // 2 + 1)) * 2
+            noisy = noisy[y0:y0 + s, x0:x0 + s]
+            gt = gt[y0:y0 + s, x0:x0 + s]
+        return {"noisy": np.ascontiguousarray(noisy),
+                "gt": np.ascontiguousarray(gt)}
+
+
+# COCO-compatible class ids (reference oneplus_rggb2obj_dataset.py:46)
+ONEPLUS_CLASSES = {"person": 0, "car": 2, "bus": 5}
+
+
+class OnePlusDetectionDataset:
+    """Raw OnePlus mosaics + labelme-JSON boxes -> YOLO training samples.
+
+    Re-design of OnePlusRggb2ObjDataset (reference
+    oneplus_rggb2obj_dataset.py:23-233): uint16 PNG mosaic (10-bit) and a
+    sibling .json per frame; Bayer-aware per-plane resize to `desired`^2
+    with zero top/bottom padding (:109-147, our utils/imaging.py:43);
+    RGGB-aligned random crops re-drawn up to `max_crop` times until at
+    least one box survives the IoU >= 0.5 visibility filter (:153-194).
+    Labels are a fixed (max_boxes, 6) array [valid, cls, cx, cy, w, h]
+    normalized to the crop — static shapes for jit, replacing the
+    reference's variable-length collate (:207-229).
+    """
+
+    def __init__(self, root: str, data_size: int = 256, *,
+                 desired: int = 1024, max_crop: int = 4, max_boxes: int = 16,
+                 white_level: float = 1023.0, seed: int = 0,
+                 is_train: bool = True,
+                 classes: Optional[dict] = None):
+        import glob
+        self.root = root
+        self.img_files = sorted(glob.glob(os.path.join(root, "*.png")))
+        self.json_files = sorted(glob.glob(os.path.join(root, "*.json")))
+        if len(self.img_files) != len(self.json_files) or not self.img_files:
+            raise ValueError(
+                f"{root}: need matching *.png / *.json files "
+                f"({len(self.img_files)} vs {len(self.json_files)})")
+        self.data_size = data_size
+        self.desired = desired
+        self.max_crop = max_crop
+        self.max_boxes = max_boxes
+        self.white_level = white_level
+        self.seed = seed
+        self.is_train = is_train
+        self.classes = classes or ONEPLUS_CLASSES
+
+    def __len__(self):
+        return len(self.img_files)
+
+    def _load_resized(self, idx: int):
+        """-> (mosaic01 (D, D, 1), ratio_h, ratio_w, top_pad)."""
+        import cv2
+        from reconfigisp_tpu.utils.imaging import bayer_aware_resize
+        img = cv2.imread(self.img_files[idx], cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(self.img_files[idx])
+        oh, ow = img.shape[:2]
+        mosaic01 = img.astype(np.float32) / self.white_level
+        resized, (th, tw) = bayer_aware_resize(
+            mosaic01, self.desired, return_extent=True)
+        top = (self.desired - th) // 2 // 2 * 2
+        if top:  # center the content band (reference pads top+bottom)
+            shifted = np.zeros_like(resized)
+            shifted[top:top + th] = resized[:th]
+            resized = shifted
+        return resized, th / oh, tw / ow, top
+
+    def _boxes(self, idx: int):
+        import json
+        with open(self.json_files[idx]) as f:
+            label = json.load(f)
+        out = []
+        for shape in label.get("shapes", []):
+            if shape.get("label") not in self.classes:
+                continue
+            pts = np.asarray(shape["points"], np.float64)
+            out.append((self.classes[shape["label"]],
+                        pts[:, 0].min(), pts[:, 1].min(),
+                        pts[:, 0].max(), pts[:, 1].max()))
+        return out
+
+    def __getitem__(self, idx: int) -> dict:
+        mosaic, rh, rw, top = self._load_resized(idx)
+        raw_boxes = self._boxes(idx)
+        s = self.data_size
+        rng = np.random.default_rng(self.seed * 50021 + idx)
+        d = self.desired
+
+        best = (mosaic[:s, :s], np.zeros((self.max_boxes, 6), np.float32))
+        for _ in range(self.max_crop):
+            r0 = int(rng.integers(min(top, d - s), d - s + 1)) // 2 * 2 \
+                if self.is_train else top
+            c0 = int(rng.integers(0, d - s + 1)) // 2 * 2 \
+                if self.is_train else 0
+            labels = np.zeros((self.max_boxes, 6), np.float32)
+            k = 0
+            for cls, x0, y0, x1, y1 in raw_boxes:
+                # frame coords -> resized+padded coords -> crop coords
+                xa, xb = x0 * rw - c0, x1 * rw - c0
+                ya, yb = y0 * rh + top - r0, y1 * rh + top - r0
+                xav, xbv = np.clip([xa, xb], 0, s - 1)
+                yav, ybv = np.clip([ya, yb], 0, s - 1)
+                area = (xb - xa) * (yb - ya)
+                vis = (xbv - xav) * (ybv - yav)
+                if area <= 0 or vis / area < 0.5:  # IoU >= 0.5 filter
+                    continue
+                if k < self.max_boxes:
+                    labels[k] = [1.0, float(cls),
+                                 (xav + xbv) / 2 / s, (yav + ybv) / 2 / s,
+                                 (xbv - xav) / s, (ybv - yav) / s]
+                    k += 1
+            crop = mosaic[r0:r0 + s, c0:c0 + s]
+            best = (crop, labels)
+            if k > 0:
+                break
+        crop, labels = best
+        return {"noisy": np.ascontiguousarray(crop, np.float32),
+                "label": labels}
+
+
 def create_dataset(dataset_opt: dict):
     """Factory keyed on `mode` (reference codes/data/__init__.py:33-53)."""
     mode = dataset_opt.get("mode", "synthetic")
+    is_train = dataset_opt.get("is_train", True)
+    if is_train is None:
+        is_train = True
     if mode in ("synthetic", "Synthetic"):
         return SyntheticRawDataset(
             n=dataset_opt.get("n", 64) or 64,
@@ -180,14 +368,26 @@ def create_dataset(dataset_opt: dict):
             n=dataset_opt.get("n", 64) or 64,
             size=dataset_opt.get("data_size", 64) or 64,
             seed=dataset_opt.get("seed", 0) or 0)
-    if mode.startswith("SID"):
+    if mode.startswith("OnePlus"):
+        return OnePlusDetectionDataset(
+            dataset_opt["dataroot"],
+            dataset_opt.get("data_size", 256) or 256,
+            desired=dataset_opt.get("desired_size", 1024) or 1024,
+            max_crop=dataset_opt.get("max_crop", 4) or 4,
+            max_boxes=dataset_opt.get("max_boxes", 16) or 16,
+            is_train=is_train)
+    if mode.startswith(("SID", "S7ISP", "Folder")):
+        white = 16383.0 if mode.startswith("SID") else 1023.0
+        root = dataset_opt["dataroot"]
+        from reconfigisp_tpu.data.backends import META_FILE
+        if os.path.exists(os.path.join(root, META_FILE)):
+            return PairRecordDataset(
+                root, dataset_opt.get("data_size"), white_level=white,
+                is_train=is_train,
+                data_type=dataset_opt.get("data_type"),
+                expo_in=dataset_opt.get("sid_expo_in"),
+                expo_gt=dataset_opt.get("sid_expo_gt"))
         return RawPairFolderDataset(
-            dataset_opt["dataroot"], dataset_opt.get("data_size"),
-            white_level=16383.0,
-            is_train=dataset_opt.get("is_train", True))
-    if mode.startswith(("S7ISP", "OnePlus", "Folder")):
-        return RawPairFolderDataset(
-            dataset_opt["dataroot"], dataset_opt.get("data_size"),
-            white_level=1023.0,
-            is_train=dataset_opt.get("is_train", True))
+            root, dataset_opt.get("data_size"), white_level=white,
+            is_train=is_train)
     raise ValueError(f"unknown dataset mode {mode!r}")

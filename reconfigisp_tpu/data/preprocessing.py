@@ -28,37 +28,59 @@ def grbg_to_rggb(mosaic: np.ndarray) -> np.ndarray:
 
 
 def process_raw_pairs(raw_paths, gt_paths, out_root: str, *,
-                      black: float, white: float, ratio: float = 1.0,
+                      black: float, white: float, ratio=1.0,
                       patch: Optional[int] = 256,
-                      stride: Optional[int] = None) -> int:
-    """Normalize raws, cut aligned patches, write pair folders.
+                      stride: Optional[int] = None,
+                      packed: bool = False) -> int:
+    """Normalize raws, cut aligned patches, write pair folders or a packed
+    record file (data/backends.py).
 
     raw .npy: (H, W) uint16 mosaic; gt .npy/.png: (H, W, 3) image.
-    Returns the number of patches written (reference SID script writes
-    256px patch dumps + an index, generate...SID_Sony.py:101-109)."""
-    os.makedirs(os.path.join(out_root, "noisy"), exist_ok=True)
-    os.makedirs(os.path.join(out_root, "gt"), exist_ok=True)
+    `ratio` is the exposure-ratio scale applied to each raw — a scalar, or
+    one value per pair for per-pair exposure handling (the reference bakes
+    gt_exposure/in_exposure into its offline 'ratio' dumps,
+    generate...SID_Sony.py:50-56).  Returns the number of patches written
+    (reference writes 256px patch dumps + an index, :101-109)."""
     stride = stride or patch
+    ratios = (list(ratio) if hasattr(ratio, "__len__")
+              else [float(ratio)] * len(list(raw_paths)))
+    writer = None
+    if packed:
+        from reconfigisp_tpu.data.backends import PackedPairWriter
+        writer = PackedPairWriter(out_root, resolution=patch)
+    else:
+        os.makedirs(os.path.join(out_root, "noisy"), exist_ok=True)
+        os.makedirs(os.path.join(out_root, "gt"), exist_ok=True)
+
+    def emit(name, mosaic, gt):
+        if writer is not None:
+            writer.add_pair(f"noisy/{name}", mosaic.astype(np.float32),
+                            f"gt/{name}", gt.astype(np.float32))
+        else:
+            _dump(out_root, name, mosaic, gt)
+
     count = 0
-    for raw_p, gt_p in zip(raw_paths, gt_paths):
+    for (raw_p, gt_p, r) in zip(raw_paths, gt_paths, ratios):
         raw = np.load(raw_p)
-        mosaic = rawproc.normalize_u16(raw, black, white, ratio)
+        mosaic = rawproc.normalize_u16(raw, black, white, r)
         gt = np.load(gt_p) if gt_p.endswith(".npy") else _imread(gt_p)
         if gt.dtype == np.uint8:
             gt = gt.astype(np.float32) / 255.0
         name = os.path.splitext(os.path.basename(raw_p))[0]
         if patch is None:
-            _dump(out_root, name, mosaic, gt)
+            emit(name, mosaic, gt)
             count += 1
             continue
         h, w = mosaic.shape[:2]
         for y0 in range(0, h - patch + 1, stride):
             for x0 in range(0, w - patch + 1, stride):
                 y0a, x0a = y0 & ~1, x0 & ~1
-                _dump(out_root, f"{name}_{y0a}_{x0a}",
-                      mosaic[y0a:y0a + patch, x0a:x0a + patch],
-                      gt[y0a:y0a + patch, x0a:x0a + patch])
+                emit(f"{name}_{y0a}_{x0a}",
+                     mosaic[y0a:y0a + patch, x0a:x0a + patch],
+                     gt[y0a:y0a + patch, x0a:x0a + patch])
                 count += 1
+    if writer is not None:
+        writer.close()
     return count
 
 

@@ -40,12 +40,15 @@ def tensor2bgr(t: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.asarray(t) * 255.0), 0, 255).astype(np.uint8)
 
 
-def bayer_aware_resize(mosaic: np.ndarray, target: int) -> np.ndarray:
+def bayer_aware_resize(mosaic: np.ndarray, target: int,
+                       return_extent: bool = False):
     """Downscale an RGGB mosaic by resizing each of the four phase planes
     independently, then re-interleaving — preserves the CFA structure
     (reference oneplus_rggb2obj_dataset.py:109-147: per-channel resize to
-    1024 + zero padding).  Returns a (target, target) mosaic, zero-padded to
-    square if the aspect ratio is not 1."""
+    1024 + zero padding).  Returns a (target, target, 1) mosaic, zero-padded
+    to square if the aspect ratio is not 1; with return_extent also the
+    (th, tw) extent of real content so callers can place the padding band
+    (the reference centers it, :118-119)."""
     import cv2
     h, w = mosaic.shape[:2]
     m = mosaic[..., 0] if mosaic.ndim == 3 else mosaic
@@ -62,4 +65,6 @@ def bayer_aware_resize(mosaic: np.ndarray, target: int) -> np.ndarray:
     out[1::2, 1::2] = small[3]
     padded = np.zeros((target, target), np.float32)
     padded[:th, :tw] = out
+    if return_extent:
+        return padded[..., None], (th, tw)
     return padded[..., None]

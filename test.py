@@ -61,6 +61,10 @@ def main():
         from reconfigisp_tpu.parallel.tiling import tiled_apply
         patch = int(ds_opt["patch_size"])
         stride = int(ds_opt.get("patch_stride", patch))
+        # one compiled program per chunk shape — without this every patch
+        # pays per-op Python dispatch (reference test_split.py pays a full
+        # host<->device round trip per patch, :88-100)
+        chunk_fwd = jax.jit(lambda s, xx: pipe(s, xx))
 
     out_dir = paths.get("results_root")
     if out_dir:
@@ -86,7 +90,7 @@ def main():
         x = jnp.asarray(sample["noisy"])[None]
         mids = None
         if split:
-            y = tiled_apply(lambda xx: pipe(state, xx), x,
+            y = tiled_apply(lambda xx: chunk_fwd(state, xx), x,
                             patch=patch, stride=stride)
         else:
             y, mids, _ = fwd(state, x)
