@@ -304,10 +304,12 @@ class DartsFtTrainer(DartsTrainer):
         return logs
 
 
-def make_yolo_criterion(blocks, yolo_weights, img_size: int):
+def make_yolo_criterion(blocks, yolo_weights, img_size: int,
+                        **loss_kw):
     """Frozen-YOLOv3 detection objective (reference
     darts_yolo_model.py:130-137: BGR->RGB swap before the detector,
-    weights never updated)."""
+    weights never updated).  loss_kw forwards obj_scale/noobj_scale —
+    match whatever balance the evaluator was trained with (yolo/train.py)."""
     from reconfigisp_tpu.yolo.net import apply_yolo
     from reconfigisp_tpu.yolo.loss import yolo_loss
 
@@ -316,7 +318,7 @@ def make_yolo_criterion(blocks, yolo_weights, img_size: int):
     def criterion(pred_bgr, labels, latency=None, **kw):
         rgb = pred_bgr[..., ::-1]
         heads = apply_yolo(frozen, blocks, rgb)
-        return yolo_loss(heads, labels, img_size)
+        return yolo_loss(heads, labels, img_size, **loss_kw)
 
     return criterion
 

@@ -1,15 +1,16 @@
-"""Offline proxy pretraining reduces imitation error."""
+"""Offline module pretraining: proxies imitate, CNNs learn their task, and a
+search seeded with pretrained CNNs prefers them where classical ops lose."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from reconfigisp_tpu.search.proxy_pretrain import pretrain_proxies
+from reconfigisp_tpu.search.proxy_pretrain import (
+    pretrain_proxies, pretrain_modules)
 from reconfigisp_tpu.registry import get_op
 
 
 def test_pretrain_improves_proxy(rng):
-    spec = get_op("srgb", "gamma")  # cheap native target? gamma has no proxy
     spec = get_op("srgb", "crysisengine")
     key = jax.random.PRNGKey(3)
     w0 = spec.proxy_init(key)
@@ -23,3 +24,69 @@ def test_pretrain_improves_proxy(rng):
     trained = pretrain_proxies(steps=120, batch=4, size=32, lr=3e-3,
                                seed=3, ops={"crysisengine"}, verbose=False)
     assert err(trained["crysisengine"]) < err(w0) * 0.7
+
+
+def test_pretrain_covers_demosaic_and_bm3d(rng):
+    """The demosaic pool and BM3D were uncovered in round 1 — the reference
+    ships pretrained checkpoints for both (super_prune...py:34-47)."""
+    trained = pretrain_modules(steps=40, batch=2, size=16, verbose=False,
+                               ops={"bilinear", "bm3d", "demosaicnet"})
+    assert set(trained) == {"bilinear", "bm3d", "demosaicnet"}
+    # bm3d proxy trained against the native DCT target actually denoises
+    spec = get_op("srgb", "bm3d")
+    x = jnp.asarray(rng.uniform(0.2, 0.8, (1, 16, 16, 3)).astype(np.float32))
+    p = jnp.full((1, 5), 0.5, jnp.float32)
+    out = spec.proxy_apply(x, p, trained["bm3d"])
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+
+def test_search_with_pretrained_cnn_selects_it(rng):
+    """On a heavy-noise denoising task, a search whose path_bayer starts
+    pretrained moves the Bayer-slot alpha toward the CNN; with a random
+    path_bayer the same search prefers skip.  This is the behaviour the
+    reference's pretrained-proxy loading exists to enable
+    (super_prune...py:34-47)."""
+    from reconfigisp_tpu.supernet import SuperNet
+    from reconfigisp_tpu.search.darts import (
+        DartsConfig, init_darts_opt_state, make_darts_step)
+    from reconfigisp_tpu.utils import losses
+    from reconfigisp_tpu.data.datasets import SyntheticRawDataset
+
+    noise = 0.10
+    trained = pretrain_modules(steps=250, batch=4, size=24, lr=2e-3,
+                               noise_std=noise, seed=5,
+                               ops={"path_bayer"}, verbose=False)
+
+    net = SuperNet(n_step=1, threshold=0.2, srgb_count=2)  # gamma+reinhard
+    cfg = DartsConfig(lr_theta=1e-2, lr_alpha=3e-2, lr_meta=1e-2)
+    crit = lambda pred, target, latency=None: losses.l2(pred, target)
+    step = jax.jit(make_darts_step(
+        lambda t, a, o, img: (net({"theta": t, "alphas": a, "omega": o},
+                                  img), 0.0), crit, cfg))
+
+    ds = SyntheticRawDataset(n=16, size=24, noise_std=noise, gain=1.0, seed=9)
+    samples = [ds[i] for i in range(16)]
+    noisy = np.stack([s["noisy"] for s in samples])
+    gt = np.stack([s["gt"] for s in samples])
+
+    def run_search(pretrained: bool):
+        v = net.init(jax.random.PRNGKey(2))
+        if pretrained:
+            v["omega"]["path_bayer"] = trained["path_bayer"]
+        opt = init_darts_opt_state(v)
+        rng_ = np.random.default_rng(0)
+        for _ in range(25):
+            idx = rng_.integers(0, 16, 8)
+            batch = {"img": jnp.asarray(noisy[idx[:4]]),
+                     "gt": jnp.asarray(gt[idx[:4]]),
+                     "val_img": jnp.asarray(noisy[idx[4:]]),
+                     "val_gt": jnp.asarray(gt[idx[4:]])}
+            v, opt, logs = step(v, opt, batch, 1.0)
+        return np.asarray(v["alphas"]["bayer"]), float(logs["val_loss"])
+
+    a_pre, loss_pre = run_search(True)
+    a_rnd, loss_rnd = run_search(False)
+    # pretrained CNN pulls the slot toward itself relative to random init
+    assert (a_pre[0] - a_pre[1]) > (a_rnd[0] - a_rnd[1])
+    assert a_pre[0] > a_pre[1], (a_pre, a_rnd)
+    assert loss_pre < loss_rnd
