@@ -52,7 +52,15 @@ def tiled_apply(fn: Callable, x: jnp.ndarray, *, patch: int, stride: int,
     patch/stride must be even to preserve RGGB phase (the reference relies on
     even configs for the same reason, e.g. patch 512 stride 480 —
     codes/options/test/S7ISP_test.yml:18-19).
+
+    Chunks run through lax.map, so `fn`'s body is traced/compiled ONCE no
+    matter how many tiles cover the frame — wrap the whole call in jax.jit
+    for a single-dispatch tiled inference program (an eager per-chunk loop
+    paid ~130 tunnel round trips at 12 MP -> 14 MP/s; the jitted map runs
+    the same frame at ~90 MP/s on v5e).
     """
+    import jax
+
     n, H, W, _ = x.shape
     assert patch % 2 == 0 and stride % 2 == 0, "RGGB alignment needs even sizes"
     assert H % 2 == 0 and W % 2 == 0
@@ -67,10 +75,17 @@ def tiled_apply(fn: Callable, x: jnp.ndarray, *, patch: int, stride: int,
         [x[:, y0:y0 + patch, x0:x0 + patch, :] for (y0, x0) in positions],
         axis=0)  # (P*N, patch, patch, C)
 
-    outs = []
-    for i in range(0, patches.shape[0], chunk * n):
-        outs.append(fn(patches[i:i + chunk * n]))
-    outs = jnp.concatenate(outs, axis=0)  # (P*N, patch, patch, out_c)
+    total = patches.shape[0]
+    group = max(1, chunk) * n
+    pad = (-total) % group
+    if pad:
+        patches = jnp.concatenate(
+            [patches, jnp.zeros((pad,) + patches.shape[1:], patches.dtype)],
+            axis=0)
+    stacked = patches.reshape((total + pad) // group, group,
+                              patch, patch, x.shape[-1])
+    outs = jax.lax.map(fn, stacked)
+    outs = outs.reshape(total + pad, patch, patch, out_channels)[:total]
 
     out = jnp.zeros((n, H, W, out_channels), outs.dtype)
     count = jnp.zeros((1, H, W, 1), outs.dtype)

@@ -61,10 +61,11 @@ def main():
         from reconfigisp_tpu.parallel.tiling import tiled_apply
         patch = int(ds_opt["patch_size"])
         stride = int(ds_opt.get("patch_stride", patch))
-        # one compiled program per chunk shape — without this every patch
-        # pays per-op Python dispatch (reference test_split.py pays a full
-        # host<->device round trip per patch, :88-100)
-        chunk_fwd = jax.jit(lambda s, xx: pipe(s, xx))
+        # one compiled program for the whole tiled frame (gather + lax.map
+        # over chunks + feathered blend) — the reference pays a full
+        # host<->device round trip per patch (test_split.py:88-100)
+        tiled_fwd = jax.jit(lambda s, xx: tiled_apply(
+            lambda pp: pipe(s, pp), xx, patch=patch, stride=stride))
 
     out_dir = paths.get("results_root")
     if out_dir:
@@ -90,8 +91,7 @@ def main():
         x = jnp.asarray(sample["noisy"])[None]
         mids = None
         if split:
-            y = tiled_apply(lambda xx: chunk_fwd(state, xx), x,
-                            patch=patch, stride=stride)
+            y = tiled_fwd(state, x)
         else:
             y, mids, _ = fwd(state, x)
         gt = sample.get("gt")

@@ -69,21 +69,40 @@ def run(which: str):
         from reconfigisp_tpu.ops import demosaic
         t = honest(jax.jit(demosaic.demosaic_malvar), mk_full)
         print(f"malvar 12MP: {t * 1e3:.1f} ms")
-    if which in ("bilateral",):
-        from reconfigisp_tpu.ops.pallas_kernels import bilateral_pallas
-        p = jnp.asarray([[1.0, 0.3, 0.5]], jnp.float32)
-        f = jax.jit(lambda x: bilateral_pallas(x, p, strip=64))
-        t = honest(f, lambda i: jax.random.uniform(
-            jax.random.PRNGKey(i), (1, 512, 512, 3)), iters=3)
-        print(f"pallas bilateral 512^2 (15x15): {t * 1e3:.1f} ms")
-    if which in ("fused_path14",):
-        from reconfigisp_tpu.ops import cnn
-        from reconfigisp_tpu.ops.pallas_kernels import path14_fused_pallas
-        w = cnn.init_path14_bayer(jax.random.PRNGKey(0))
-        f = jax.jit(lambda x: path14_fused_pallas(w, x, th=32, tw=256))
-        t = honest(f, lambda i: jax.random.uniform(
-            jax.random.PRNGKey(i), (1, H // 2, W // 2, 4)), iters=3)
-        print(f"fused path14 12MP: {t * 1e3:.1f} ms")
+    if which in ("denoise",):
+        # the Pallas windowed kernels at full 12 MP (jnp forms OOM HBM here)
+        from reconfigisp_tpu.ops.pallas_kernels import (
+            bilateral_pallas, median_pallas, fastnlm_pallas)
+        mk3 = lambda i: jax.random.uniform(
+            jax.random.PRNGKey(i), (1, H, W, 3), jnp.float32)
+        for name, fn, p in [
+                ("bilateral r=7", bilateral_pallas,
+                 [[0.95, 0.3, 0.5]]),
+                ("bilateral r=1", bilateral_pallas,
+                 [[0.1, 0.3, 0.5]]),
+                ("median r=3", median_pallas, [[0.35]]),
+                ("fastnlm b=1 s=3", fastnlm_pallas, [[0.1, 0.35, 0.3]])]:
+            pj = jnp.asarray(p, jnp.float32)
+            t = honest(jax.jit(lambda x, fn=fn, pj=pj: fn(x, pj, strip=32)),
+                       mk3, iters=3)
+            print(f"pallas {name} 12MP: {t * 1e3:.1f} ms")
+    if which in ("split", "all"):
+        # tiled full-resolution inference (reference test_split.py workload:
+        # patch 512 / stride 480 at 12 MP)
+        from reconfigisp_tpu.pipeline import Pipeline
+        from reconfigisp_tpu.parallel.tiling import tiled_apply
+        from reconfigisp_tpu import precision
+        pipe = Pipeline("Bayer_01_Demosaic_03_sRGB_01_13_11")
+        st = pipe.init(jax.random.PRNGKey(0))
+        with precision.cnn_storage("bf16"):
+            # jit the WHOLE tiled program: gather + per-chunk forwards +
+            # feathered blend in one dispatch (eager chunk loops paid ~130
+            # per-op dispatches through the tunnel -> 14 MP/s)
+            f = jax.jit(lambda x: tiled_apply(
+                lambda xx: pipe(st, xx), x, patch=512, stride=480, chunk=16))
+            t = honest(f, mk_full, iters=3)
+        print(f"split-mode pipeline 12MP (512/480): {t * 1e3:.1f} ms "
+              f"-> {H * W / 1e6 / t:.1f} MP/s")
 
 
 if __name__ == "__main__":
