@@ -14,7 +14,9 @@ state-of-the-art GPU inference of this conv stack would land in the tens of
 MP/s, so read the absolute MP/s number, not the ratio, as the headline.
 History: 49.6 MP/s (r1, f32, strided Bayer pack, per-frame dispatch) ->
 105 MP/s (r2: bf16 storage, reshape-based pack, fused elementwise CCM,
-multi-frame dispatch amortizing the ~25 ms tunnel RTT).
+multi-frame dispatch amortizing the ~25 ms tunnel RTT) -> 164 MP/s (r2:
+batched-tile inference engine — the jitted feathered tile program drives
+the conv stack ~1.9x harder than one 12 MP-wide conv).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": ratio}
@@ -44,6 +46,7 @@ def measure_tpu() -> float:
     import jax
     import jax.numpy as jnp
     from reconfigisp_tpu.pipeline import Pipeline
+    from reconfigisp_tpu.parallel.tiling import tiled_apply
     from reconfigisp_tpu import precision
 
     log(f"jax devices: {jax.devices()}")
@@ -55,18 +58,27 @@ def measure_tpu() -> float:
     # dependency.  Each dispatch additionally pays a ~25 ms tunnel round
     # trip, so one dispatch processes FPD frames via lax.scan and the
     # per-frame time divides it out (throughput, not latency).
+    #
+    # The frames run through the production inference engine: the jitted
+    # feather-blended tile program (parallel/tiling.py, patch 512 /
+    # stride 480 as the reference's split-test configs) with bf16 storage —
+    # batched 512px tiles drive the conv stack ~1.9x harder than one
+    # 12 MP-wide conv (same ops, same overlap as test.py's split mode).
+    # All FPD frames enter one dispatch as the tile batch dimension.
     FPD = 4
-    with precision.cnn_storage("bf16"):  # bf16 inter-layer storage on TPU
-        fwd = jax.jit(lambda s, xs: jnp.sum(
-            jax.lax.scan(lambda c, x: (c + jnp.sum(pipe(s, x)), 0.0),
-                         0.0, xs)[0]))
+
+    fwd = jax.jit(lambda s, xs: jnp.sum(tiled_apply(
+        lambda pp: pipe(s, pp), xs, patch=512, stride=480, chunk=8)))
     iters = 6
-    stacks = [jax.random.uniform(jax.random.PRNGKey(i), (FPD, 1, H, W, 1),
+    stacks = [jax.random.uniform(jax.random.PRNGKey(i), (FPD, H, W, 1),
                                  jnp.float32, 0.02, 0.98)
               for i in range(iters + 2)]
-    t0 = time.perf_counter()
-    float(fwd(state, stacks[0]))
-    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+    # the storage-dtype policy applies at TRACE time — it must wrap the
+    # first call, not the jit definition (precision.py)
+    with precision.cnn_storage("bf16"):  # bf16 inter-layer storage on TPU
+        t0 = time.perf_counter()
+        float(fwd(state, stacks[0]))
+        log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
     float(fwd(state, stacks[1]))  # drain
     ts = []
     for i in range(2, iters + 2):
