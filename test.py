@@ -86,6 +86,14 @@ def main():
     psnrs, ssims = [], []
     n = len(dataset) if args.max_images is None \
         else min(args.max_images, len(dataset))
+    # storage precision for the CNN stacks (option `precision: bf16`
+    # halves activation HBM traffic on TPU).  The policy is read at trace
+    # time, so it must be active when the loop below triggers the first
+    # compile; this is a one-shot CLI, so enter it for the process lifetime.
+    if opt.get("precision"):
+        from reconfigisp_tpu import precision as precision_mod
+        ctx = precision_mod.cnn_storage(str(opt["precision"]))
+        ctx.__enter__()
     for i in range(n):
         sample = dataset[i]
         x = jnp.asarray(sample["noisy"])[None]
