@@ -428,6 +428,9 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
     mesh = None
     if opt.get("dist"):
         mesh = meshlib.make_mesh()
+    # rank-0-only checkpointing / probes in multi-host runs
+    # (reference train.py:85,218,294)
+    main_proc = jax.process_index() == 0
 
     net_opt = opt["network_G"]
     summary = {}
@@ -466,6 +469,7 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
         net = SuperNet(n_step=n_step, threshold=threshold,
                        use_proxies=use_proxies,
                        srgb_count=net_opt.get("srgb_count")
+                       or net_opt.get("n_modules")  # reference yml key
                        or SUPERNET_SRGB_COUNT)
         if opt["model"] == "darts_ft":
             trainer = DartsFtTrainer(net, train_opt,
@@ -491,8 +495,12 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
             names = trainer.load_pretrained(loaded)
             logger.info(f"pretrained weights installed for {sorted(names)}")
 
+        # process-sharded iteration (replaces DistIterTrain/ValSampler's
+        # rank striding, reference data_sampler.py:98-102); single-process
+        # runs see rank 0 / world 1
         train_loader, val_loader = create_search_loaders(
-            dataset, batch_size, seed=seed)
+            dataset, batch_size, seed=seed,
+            rank=jax.process_index(), world=jax.process_count())
         logger_opt = opt.get("logger") or {}
         print_freq = logger_opt.get("print_freq", 10)
         save_freq = logger_opt.get("save_checkpoint_freq")
@@ -525,16 +533,18 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
                     alpha_logs[f"pruned/{s}"] = float(cnt)
                 metrics.scalars(trainer.step_idx, {**logs, **alpha_logs})
                 t0 = time.time()
-            if val_freq and trainer.step_idx % int(val_freq) == 0:
+            if val_freq and main_proc \
+                    and trainer.step_idx % int(val_freq) == 0:
                 logs.update(probe(trainer.step_idx))
                 t0 = time.time()
-            if save_freq and trainer.step_idx % int(save_freq) == 0 \
+            if save_freq and main_proc \
+                    and trainer.step_idx % int(save_freq) == 0 \
                     and paths.get("models"):
                 trainer.save(paths["models"], paths["training_state"], 0)
         arch = trainer.architecture()
         logger.info(f"final architecture: {arch}")
         summary = {"architecture": arch, **logs}
-        if paths.get("models"):
+        if paths.get("models") and main_proc:
             trainer.save(paths["models"], paths["training_state"], 0)
     else:
         pipe = Pipeline(net_opt["architecture"],
@@ -554,7 +564,9 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
                                  or {}).items():
             trainer.state["weights"][step_name] = jax.tree.map(
                 jnp.asarray, checkpoint.load_network(wpath))
-        loader = create_loader(dataset, batch_size, shuffle_seed=seed)
+        loader = create_loader(dataset, batch_size, shuffle_seed=seed,
+                               rank=jax.process_index(),
+                               world=jax.process_count())
         logger_opt = opt.get("logger") or {}
         print_freq = logger_opt.get("print_freq", 10)
         val_freq = logger_opt.get("val_freq")
@@ -571,11 +583,12 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
                             f"loss {logs['loss']:.4e} ({dt:.3f}s/iter)")
                 metrics.scalars(trainer.step_idx, logs)
                 t0 = time.time()
-            if val_freq and trainer.step_idx % int(val_freq) == 0:
+            if val_freq and main_proc \
+                    and trainer.step_idx % int(val_freq) == 0:
                 logs.update(probe(trainer.step_idx))
                 t0 = time.time()
         summary = dict(logs)
-        if paths.get("models"):
+        if paths.get("models") and main_proc:
             checkpoint.save_network(paths["models"], "G", trainer.step_idx,
                                     trainer.state)
     metrics.close()

@@ -131,3 +131,43 @@ class TestRunTraining:
         opt2 = config.parse_dict(dict(base), root=str(tmp_path))
         s2 = run_training(opt2)
         assert s2["steps"] == 6
+
+    def test_module_weight_paths_and_calibration(self, tmp_path):
+        """Per-step weight overrides (reference isp_universal.py:169-176)
+        and the measured-latency install (train.calibrate_latency)."""
+        import jax
+        from reconfigisp_tpu.ops import cnn
+        from reconfigisp_tpu.utils import checkpoint as ckpt
+        from reconfigisp_tpu import registry
+
+        # snapshot latencies: install() mutates the registry process-wide
+        snapshot = {spec.name: spec.latency
+                    for dom in ("bayer", "demosaic", "srgb")
+                    for spec in registry.pool(dom)}
+        w = cnn.init_path14_bayer(jax.random.PRNGKey(42))
+        path = ckpt.save_network(str(tmp_path), "bayerw", "pre", w)
+        opt = config.parse_dict({
+            "name": "t_mwp", "model": "isp",
+            "datasets": {"train": {"mode": "synthetic", "n": 8,
+                                   "data_size": 16, "batch_size": 2}},
+            "network_G": {"architecture": "Bayer_01_Demosaic_02_sRGB_01",
+                          "module_weight_paths": {"step1_path_bayer": path}},
+            "train": {"lr_G": 1e-2, "niter": 2, "manual_seed": 1,
+                      "calibrate_latency": True, "latency_calib_size": 16,
+                      "lr_scheme": "MultiStepLR", "lr_steps": []},
+            "logger": {"print_freq": 2},
+        }, root=str(tmp_path))
+        try:
+            summary = run_training(opt)
+            assert summary["steps"] == 2
+            # measured table installed + persisted
+            import os, json
+            table_path = os.path.join(str(tmp_path), "experiments", "t_mwp",
+                                      "latency_table.json")
+            assert os.path.exists(table_path)
+            table = json.load(open(table_path))
+            assert registry.get_op("srgb", "gamma").latency == \
+                pytest.approx(table["gamma"])
+        finally:
+            from reconfigisp_tpu.utils import latency as latlib
+            latlib.install(snapshot)

@@ -21,11 +21,19 @@ def main():
                         help="override train.niter")
     parser.add_argument("--platform", default=None,
                         help="force jax platform (e.g. cpu)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host run: jax.distributed.initialize() "
+                             "from the TPU environment (the single-controller "
+                             "replacement for the reference's pytorch/SLURM "
+                             "launchers, codes/train.py:20-55)")
     args = parser.parse_args()
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()  # coordinator/rank from TPU metadata
 
     from reconfigisp_tpu import config
     from reconfigisp_tpu.search.trainer import run_training
