@@ -466,11 +466,13 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
         use_proxies = (opt["model"] == "darts_ft") or bool(
             net_opt.get("use_proxies"))
         from reconfigisp_tpu.registry import SUPERNET_SRGB_COUNT
+        remat = net_opt.get("remat")
         net = SuperNet(n_step=n_step, threshold=threshold,
                        use_proxies=use_proxies,
                        srgb_count=net_opt.get("srgb_count")
                        or net_opt.get("n_modules")  # reference yml key
-                       or SUPERNET_SRGB_COUNT)
+                       or SUPERNET_SRGB_COUNT,
+                       remat=True if remat is None else bool(remat))
         if opt["model"] == "darts_ft":
             trainer = DartsFtTrainer(net, train_opt,
                                      opt.get("proxy_ft_params") or {},

@@ -40,17 +40,24 @@ from reconfigisp_tpu.registry import pool, SUPERNET_SRGB_COUNT
 class SuperNet:
     def __init__(self, n_step: int, threshold: float,
                  use_proxies: bool = False,
-                 srgb_count: int = SUPERNET_SRGB_COUNT):
+                 srgb_count: int = SUPERNET_SRGB_COUNT,
+                 remat: bool = True):
         """
         :param n_step: number of sRGB slots (reference n_step, yml network_G)
         :param threshold: pruning threshold ratio (reference prune_threshold)
         :param use_proxies: search through CNN imitators for the ops the
             reference proxies (parity mode); default False = native
             differentiable algorithms (BM3D stays a proxy either way).
+        :param remat: jax.checkpoint each candidate op so the DARTS
+            backward passes recompute instead of storing per-op residuals —
+            without it the full native 3-step/15-op search step demands
+            ~29 GB of HBM at batch 4/crop 48 (the windowed denoise ops'
+            225-iteration tap scans each bank per-iteration residuals).
         """
         self.n_step = n_step
         self.threshold = threshold
         self.use_proxies = use_proxies
+        self.remat = remat
         srgb_ops = pool("srgb")[:srgb_count]
         self.slots = [("bayer", pool("bayer")), ("demosaic", pool("demosaic"))]
         self.slots += [(f"step{k + 1}", srgb_ops) for k in range(n_step)]
@@ -129,7 +136,10 @@ class SuperNet:
                     continue
                 params = self._params_for(variables, slot_name, spec, n, x.dtype)
                 weights = variables["omega"].get(spec.name)
-                out = spec.get_apply(self.use_proxies)(x, params, weights)
+                apply_fn = spec.get_apply(self.use_proxies)
+                if self.remat:
+                    apply_fn = jax.checkpoint(apply_fn)
+                out = apply_fn(x, params, weights)
                 y = y + post[i] * out
             if len(bank) >= 2:
                 wstack = jax.tree.map(
@@ -141,9 +151,11 @@ class SuperNet:
                             ((0, 0), (0, cnn_mod.MAX_PROXY_PARAMS -
                                       ops[i].n_params)))
                     for i in bank])  # (K, N, 5)
-                outs = jax.vmap(
-                    lambda w_, p_: cnn_mod.apply_srcnn_res(w_, x, p_)
-                )(wstack, pstack)  # (K, N, H, W, 3)
+                bank_fn = jax.vmap(
+                    lambda w_, p_: cnn_mod.apply_srcnn_res(w_, x, p_))
+                if self.remat:
+                    bank_fn = jax.checkpoint(bank_fn)
+                outs = bank_fn(wstack, pstack)  # (K, N, H, W, 3)
                 y = y + jnp.einsum("k,knhwc->nhwc", post[jnp.asarray(bank)],
                                    outs, preferred_element_type=jnp.float32)
             latency = latency + lat_slot
