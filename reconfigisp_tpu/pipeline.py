@@ -17,8 +17,6 @@ Logits are squashed with sigmoid and broadcast per batch at apply time
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

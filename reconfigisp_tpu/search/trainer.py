@@ -21,7 +21,6 @@ import numpy as np
 
 from reconfigisp_tpu.pipeline import Pipeline
 from reconfigisp_tpu.supernet import SuperNet
-from reconfigisp_tpu.registry import get_op
 from reconfigisp_tpu.search.darts import (
     DartsConfig, init_darts_opt_state, make_darts_step)
 from reconfigisp_tpu.utils import losses, optim, checkpoint

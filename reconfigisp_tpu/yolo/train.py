@@ -11,7 +11,7 @@ mAP evaluation wrapper shared by tests and the test.py CLI flow.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax
