@@ -507,12 +507,23 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
         save_freq = logger_opt.get("save_checkpoint_freq")
         val_freq = logger_opt.get("val_freq")
         probe = _make_val_probe(opt, dataset, trainer, is_yolo)
+        # on-device trace capture: train.trace_steps: [start, stop] writes a
+        # TensorBoard-loadable profile under <experiments>/trace (the
+        # reference's only profiling was a printed s/iter, SURVEY §5)
+        trace_steps = train_opt.get("trace_steps")
+        trace_dir = os.path.join(paths.get("experiments_root") or ".",
+                                 "trace")
         logs = {"loss": float("nan"), "val_loss": float("nan")}
         t0 = time.time()
         for (tb, vb) in zip(train_loader, val_loader):
             if trainer.step_idx >= niter:
                 break
+            if trace_steps and trainer.step_idx == int(trace_steps[0]):
+                jax.profiler.start_trace(trace_dir)
             logs = trainer.search_step(tb, vb)
+            if trace_steps and trainer.step_idx == int(trace_steps[1]):
+                jax.profiler.stop_trace()
+                logger.info(f"profile trace written to {trace_dir}")
             if isinstance(trainer, DartsFtTrainer):
                 trainer.record_intermediates(tb)
                 if trainer.step_idx % trainer.ft_interval == 0:
