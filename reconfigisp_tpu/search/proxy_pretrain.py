@@ -139,13 +139,19 @@ def pretrain_modules(steps: int = 1000, *, batch: int = 8, size: int = 48,
             return w2, o2, loss
 
         loss = None
-        for i in range(steps):
-            x, params, target = batch_fn(i)
-            weights, opt_state, loss = step_fn(weights, opt_state, x,
-                                               params, target)
-            if verbose and (i + 1) % log_every == 0:
-                print(f"[{name}] step {i + 1}/{steps} l2 {float(loss):.3e}",
-                      flush=True)
+        try:
+            for i in range(steps):
+                x, params, target = batch_fn(i)
+                weights, opt_state, loss = step_fn(weights, opt_state, x,
+                                                   params, target)
+                if verbose and (i + 1) % log_every == 0:
+                    print(f"[{name}] step {i + 1}/{steps} "
+                          f"l2 {float(loss):.3e}", flush=True)
+        except Exception as e:  # pragma: no cover - backend flake
+            # one op failing (e.g. a transient remote-compile error) must
+            # not lose the rest of a long pretraining run
+            print(f"[{name}] FAILED after {i} steps: {e}", flush=True)
+            continue
         trained[name] = weights
         if verbose:
             print(f"[{name}] done, final l2 {float(loss):.3e}", flush=True)
