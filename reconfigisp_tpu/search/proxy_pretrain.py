@@ -61,68 +61,72 @@ def pretrain_modules(steps: int = 1000, *, batch: int = 8, size: int = 48,
     rng = np.random.default_rng(seed)
     sample_scene = _make_scene_sampler(batch, size, seed)
 
-    plans = []  # (name, init_fn, batch_fn) where batch_fn(i,k)->(x,params,tgt_fn)
+    # plans: (name, init_fn, apply_fn, target_fn, sample_fn)
+    #   sample_fn(i) -> (x, params, target_or_None)  [host-side numpy only]
+    #   target_fn(x, params) -> target, evaluated INSIDE the jitted step —
+    #   eager target evaluation dispatched hundreds of primitive ops per
+    #   iteration through the device tunnel and leaked its memoization
+    #   cache to an OOM kill on long runs.
+    plans = []
 
     # ---- sRGB proxies: imitate the native algorithm on random params ----
     for spec in pool("srgb"):
         if spec.proxy_apply is None or spec.ft_target_fn() is None:
             continue
-        target_fn = spec.ft_target_fn()
 
-        def batch_fn(i, _spec=spec, _tf=target_fn):
-            x = jnp.asarray(sample_scene(i))
+        def sample(i, _spec=spec):
+            x = sample_scene(i)
             p = rng.random((1, _spec.n_params)).astype(np.float32)
-            params = jnp.asarray(np.repeat(p, batch, axis=0))
-            target = jax.lax.stop_gradient(_tf(x, params, None))
-            return x, params, target
+            return x, np.repeat(p, batch, axis=0), None
 
-        plans.append((spec.name, spec.proxy_init, spec.proxy_apply, batch_fn))
+        plans.append((spec.name, spec.proxy_init, spec.proxy_apply,
+                      lambda x, p, _tf=spec.ft_target_fn(): _tf(x, p, None),
+                      sample))
 
     # ---- demosaic proxies: imitate the native demosaic on mosaics ----
     for spec in pool("demosaic"):
         if spec.proxy_apply is None or spec.apply is None:
             continue
 
-        def batch_fn(i, _spec=spec):
-            bgr = sample_scene(i)
-            x = jnp.asarray(_mosaic_batch(bgr))
-            target = jax.lax.stop_gradient(_spec.apply(x, None, None))
-            return x, None, target
+        def sample(i):
+            return _mosaic_batch(sample_scene(i)), None, None
 
-        plans.append((spec.name, spec.proxy_init, spec.proxy_apply, batch_fn))
+        plans.append((spec.name, spec.proxy_init, spec.proxy_apply,
+                      lambda x, p, _s=spec: _s.apply(x, None, None), sample))
 
     # ---- native CNN ops: train on their real task ----
     by_name = {s.name: s for dom in ("bayer", "demosaic", "srgb")
                for s in pool(dom)}
 
-    def add_native(name, batch_fn):
+    def add_native(name, sample_fn):
         spec = by_name[name]
         plans.append((name, spec.init_weights,
-                      lambda x, p, w, _s=spec: _s.apply(x, p, w), batch_fn))
+                      lambda x, p, w, _s=spec: _s.apply(x, p, w),
+                      None, sample_fn))
 
-    def dem_batch(i):
+    def dem_sample(i):
         bgr = sample_scene(i)
-        return jnp.asarray(_mosaic_batch(bgr)), None, jnp.asarray(bgr)
+        return _mosaic_batch(bgr), None, bgr
 
-    def bayer_batch(i):
+    def bayer_sample(i):
         bgr = sample_scene(i)
         clean = _mosaic_batch(bgr)
-        noisy = clean + rng.normal(0, noise_std, clean.shape)
-        return (jnp.asarray(np.clip(noisy, 0, 1).astype(np.float32)), None,
-                jnp.asarray(clean))
+        noisy = np.clip(clean + rng.normal(0, noise_std, clean.shape),
+                        0, 1).astype(np.float32)
+        return noisy, None, clean
 
-    def bgr_batch(i):
+    def bgr_sample(i):
         bgr = sample_scene(i)
-        noisy = bgr + rng.normal(0, noise_std, bgr.shape)
-        return (jnp.asarray(np.clip(noisy, 0, 1).astype(np.float32)), None,
-                jnp.asarray(bgr))
+        noisy = np.clip(bgr + rng.normal(0, noise_std, bgr.shape),
+                        0, 1).astype(np.float32)
+        return noisy, None, bgr
 
-    add_native("demosaicnet", dem_batch)
-    add_native("path_bayer", bayer_batch)
-    add_native("path_bgr", bgr_batch)
+    add_native("demosaicnet", dem_sample)
+    add_native("path_bayer", bayer_sample)
+    add_native("path_bgr", bgr_sample)
 
     trained = {}
-    for name, init_fn, apply_fn, batch_fn in plans:
+    for name, init_fn, apply_fn, target_fn, sample_fn in plans:
         if ops is not None and name not in ops:
             continue
         key, k = jax.random.split(key)
@@ -130,7 +134,11 @@ def pretrain_modules(steps: int = 1000, *, batch: int = 8, size: int = 48,
         opt_state = optim.adam_init(weights)
 
         @jax.jit
-        def step_fn(w, o, x, params, target, _apply=apply_fn):
+        def step_fn(w, o, x, params, target,
+                    _apply=apply_fn, _tf=target_fn):
+            if _tf is not None:
+                target = jax.lax.stop_gradient(_tf(x, params))
+
             def loss_fn(w_):
                 return losses.l2(_apply(x, params, w_), target)
 
@@ -139,11 +147,14 @@ def pretrain_modules(steps: int = 1000, *, batch: int = 8, size: int = 48,
             return w2, o2, loss
 
         loss = None
+        i = 0
         try:
             for i in range(steps):
-                x, params, target = batch_fn(i)
-                weights, opt_state, loss = step_fn(weights, opt_state, x,
-                                                   params, target)
+                x, params, target = sample_fn(i)
+                weights, opt_state, loss = step_fn(
+                    weights, opt_state, jnp.asarray(x),
+                    None if params is None else jnp.asarray(params),
+                    None if target is None else jnp.asarray(target))
                 if verbose and (i + 1) % log_every == 0:
                     print(f"[{name}] step {i + 1}/{steps} "
                           f"l2 {float(loss):.3e}", flush=True)

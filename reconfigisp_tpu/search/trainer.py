@@ -167,8 +167,12 @@ class DartsTrainer:
     # ---------------------------------------------------------- housekeeping
 
     def pruned_paths(self, img) -> np.ndarray:
-        _, aux = self.net(self.variables, jnp.asarray(img), return_aux=True)
-        return np.asarray(aux["pruned"])
+        if not hasattr(self, "_pruned_fn"):
+            # jitted: an eager supernet forward dispatches hundreds of
+            # primitive ops through the device tunnel per logging interval
+            self._pruned_fn = jax.jit(
+                lambda v, x: self.net(v, x, return_aux=True)[1]["pruned"])
+        return np.asarray(self._pruned_fn(self.variables, jnp.asarray(img)))
 
     def architecture(self) -> str:
         return self.net.argmax_architecture(self.variables)
