@@ -14,9 +14,9 @@ state-of-the-art GPU inference of this conv stack would land in the tens of
 MP/s, so read the absolute MP/s number, not the ratio, as the headline.
 History: 49.6 MP/s (r1, f32, strided Bayer pack, per-frame dispatch) ->
 105 MP/s (r2: bf16 storage, reshape-based pack, fused elementwise CCM,
-multi-frame dispatch amortizing the ~25 ms tunnel RTT) -> 164 MP/s (r2:
+multi-frame dispatch amortizing the ~25 ms tunnel RTT) -> 185 MP/s (r2:
 batched-tile inference engine — the jitted feathered tile program drives
-the conv stack ~1.9x harder than one 12 MP-wide conv).
+the conv stack ~2x harder than one 12 MP-wide conv).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": ratio}
@@ -60,15 +60,15 @@ def measure_tpu() -> float:
     # per-frame time divides it out (throughput, not latency).
     #
     # The frames run through the production inference engine: the jitted
-    # feather-blended tile program (parallel/tiling.py, patch 512 /
-    # stride 480 as the reference's split-test configs) with bf16 storage —
-    # batched 512px tiles drive the conv stack ~1.9x harder than one
-    # 12 MP-wide conv (same ops, same overlap as test.py's split mode).
+    # feather-blended tile program (parallel/tiling.py; same overlap ratio
+    # as the reference's split-test configs) with bf16 storage — batched
+    # 256px tiles drive the conv stack ~2x harder than one 12 MP-wide conv
+    # (same ops and blending as test.py's split mode).
     # All FPD frames enter one dispatch as the tile batch dimension.
     FPD = 4
 
     fwd = jax.jit(lambda s, xs: jnp.sum(tiled_apply(
-        lambda pp: pipe(s, pp), xs, patch=512, stride=480, chunk=8)))
+        lambda pp: pipe(s, pp), xs, patch=256, stride=240, chunk=16)))
     iters = 6
     stacks = [jax.random.uniform(jax.random.PRNGKey(i), (FPD, H, W, 1),
                                  jnp.float32, 0.02, 0.98)
