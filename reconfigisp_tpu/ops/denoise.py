@@ -94,10 +94,12 @@ def bilateral(x, params, weights=None):
 
 
 def _bilateral_jnp(x, params):
-    """225 taps as a lax.fori_loop over dynamic rolls — the static unroll
-    built a ~10k-op HLO per instance, which multiplied by (3 sRGB slots x 5
-    DARTS passes) dominated full-supernet compile time; the rolled form is
-    ~50x smaller to compile and identical numerically."""
+    """Hybrid tap loop: lax.fori_loop over the 15 column offsets (dynamic
+    W-roll) with the 15 row offsets statically sliced inside the body.  The
+    fully static 225-tap unroll built a ~10k-op HLO per instance — which,
+    multiplied by (3 sRGB slots x 5 DARTS passes), dominated full-supernet
+    compile time — while a fully rolled 225-iteration loop serialized the
+    search step on device; 15 static x 15 sequential is the sweet spot."""
     n, h, w, c = x.shape
     radius = _size01_to_radius(params[:, 0])[:, None, None, None]
     sigma_color = (1.0 + 99.0 * params[:, 1])[:, None, None, None]
@@ -109,21 +111,25 @@ def _bilateral_jnp(x, params):
     inv_2sc2 = 0.5 / (sigma_color ** 2)
     inv_2ss2 = 0.5 / (sigma_space ** 2)
 
-    def body(t, carry):
+    def body(j, carry):
         num, den = carry
-        dy = t // k - _MAX_R
-        dx = t % k - _MAX_R
-        rolled = jnp.roll(padded, (-dy, -dx), axis=(1, 2))
-        tap = rolled[:, _MAX_R:_MAX_R + h, _MAX_R:_MAX_R + w, :]
-        chess = jnp.maximum(jnp.abs(dy), jnp.abs(dx))
-        include = (chess <= radius).astype(x.dtype)
-        w_space = jnp.exp(-(dy * dy + dx * dx).astype(jnp.float32) * inv_2ss2)
-        w_color = jnp.exp(-((tap - x255) ** 2) * inv_2sc2)
-        wgt = include * w_space * w_color
-        return num + wgt * tap, den + wgt
+        dx = j - _MAX_R
+        rolled = jnp.roll(padded, -dx, axis=2)
+        adx = jnp.abs(dx)
+        dx2 = (dx * dx).astype(jnp.float32)
+        for dy in range(-_MAX_R, _MAX_R + 1):
+            tap = rolled[:, _MAX_R + dy:_MAX_R + dy + h,
+                         _MAX_R:_MAX_R + w, :]
+            include = (jnp.maximum(abs(dy), adx) <= radius).astype(x.dtype)
+            w_space = jnp.exp(-(dy * dy + dx2) * inv_2ss2)
+            w_color = jnp.exp(-((tap - x255) ** 2) * inv_2sc2)
+            wgt = include * w_space * w_color
+            num = num + wgt * tap
+            den = den + wgt
+        return num, den
 
     num, den = lax.fori_loop(
-        0, k * k, body, (jnp.zeros_like(x255), jnp.zeros_like(x255)))
+        0, k, body, (jnp.zeros_like(x255), jnp.zeros_like(x255)))
     out = num / jnp.clip(den, 1e-8, None)
     return jnp.clip(out / 255.0, 0.0, 1.0)
 
@@ -185,9 +191,12 @@ def fastnlm(x, params, weights=None):
 
 
 def _fastnlm_jnp(x, params):
+    """Hybrid tap loop like _bilateral_jnp: fori over 15 column offsets,
+    static row offsets inside; block (patch) size batch-uniform via
+    lax.switch with a static separable box per branch."""
     n, h, w, c = x.shape
     block_idx = jnp.clip(jnp.floor(params[0, 0] * 7.0), 0, 6).astype(jnp.int32)
-    search_radius = _size01_to_radius(params[:, 1])  # (N,)
+    search_radius = _size01_to_radius(params[:, 1])[:, None, None, None]
     hdecay = (1.0 + 99.0 * params[:, 2])[:, None, None, None]
     x255 = x * 255.0
     padded = _pad_reflect(x255, _MAX_R)
@@ -196,20 +205,24 @@ def _fastnlm_jnp(x, params):
     def run(block_r):
         inv_h2 = 1.0 / (hdecay ** 2)
 
-        def body(t, carry):
+        def body(j, carry):
             num, den = carry
-            dy = t // k - _MAX_R
-            dx = t % k - _MAX_R
-            rolled = jnp.roll(padded, (-dy, -dx), axis=(1, 2))
-            tap = rolled[:, _MAX_R:_MAX_R + h, _MAX_R:_MAX_R + w, :]
-            d2 = _box_filter((tap - x255) ** 2, block_r)
-            chess = jnp.maximum(jnp.abs(dy), jnp.abs(dx))
-            include = (chess <= search_radius)[:, None, None, None]
-            wgt = include.astype(x.dtype) * jnp.exp(-d2 * inv_h2)
-            return num + wgt * tap, den + wgt
+            dx = j - _MAX_R
+            rolled = jnp.roll(padded, -dx, axis=2)
+            adx = jnp.abs(dx)
+            for dy in range(-_MAX_R, _MAX_R + 1):
+                tap = rolled[:, _MAX_R + dy:_MAX_R + dy + h,
+                             _MAX_R:_MAX_R + w, :]
+                d2 = _box_filter((tap - x255) ** 2, block_r)
+                include = (jnp.maximum(abs(dy), adx)
+                           <= search_radius).astype(x.dtype)
+                wgt = include * jnp.exp(-d2 * inv_h2)
+                num = num + wgt * tap
+                den = den + wgt
+            return num, den
 
         num, den = lax.fori_loop(
-            0, k * k, body, (jnp.zeros_like(x255), jnp.zeros_like(x255)))
+            0, k, body, (jnp.zeros_like(x255), jnp.zeros_like(x255)))
         return num / jnp.clip(den, 1e-8, None)
 
     out = lax.switch(block_idx, [lambda r=r: run(r) for r in range(1, 8)])
