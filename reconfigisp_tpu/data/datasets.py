@@ -19,10 +19,18 @@ Conventions (match the reference):
 
 from __future__ import annotations
 
+import itertools
 import os
 from typing import Optional
 
 import numpy as np
+
+
+def _crop_rng(seed: int, idx: int, access: int, is_train: bool):
+    """Crop rng mixing a per-dataset access counter so a given image draws a
+    *fresh* crop every epoch (the reference draws per access,
+    sid...dataset.py:121-124); eval keeps crops deterministic per index."""
+    return np.random.default_rng((seed, idx, access if is_train else 0))
 
 
 class SyntheticRawDataset:
@@ -31,12 +39,19 @@ class SyntheticRawDataset:
     the ground truth.  Deterministic per (seed, index)."""
 
     def __init__(self, n: int = 64, size: int = 64, noise_std: float = 0.03,
-                 gain: float = 0.5, seed: int = 0, data_size: Optional[int] = None):
+                 gain: float = 0.5, seed: int = 0,
+                 data_size: Optional[int] = None,
+                 global_prob: float = 0.0):
         self.n = n
         self.size = size if data_size is None else data_size
         self.noise_std = noise_std
         self.gain = gain
         self.seed = seed
+        # global_prob > 0 emits the local/global mixture the reference's
+        # local_global loss was designed for (util_loss.py:26-64, dormant
+        # there): each sample carries glb_flag — 0 = random crop from a
+        # 2x-size scene, 1 = the full scene 2x-downsampled.
+        self.global_prob = global_prob
 
     def __len__(self):
         return self.n
@@ -66,12 +81,28 @@ class SyntheticRawDataset:
 
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(self.seed * 100003 + idx)
-        gt = self._scene(rng, self.size)
+        out = {}
+        if self.global_prob > 0:
+            s = self.size
+            big = self._scene(rng, 2 * s)
+            if rng.random() < self.global_prob:
+                gt = 0.25 * (big[0::2, 0::2] + big[0::2, 1::2]
+                             + big[1::2, 0::2] + big[1::2, 1::2])
+                out["glb_flag"] = np.float32(1.0)
+            else:
+                y0 = int(rng.integers(0, s // 2 + 1)) * 2
+                x0 = int(rng.integers(0, s // 2 + 1)) * 2
+                gt = big[y0:y0 + s, x0:x0 + s]
+                out["glb_flag"] = np.float32(0.0)
+            gt = np.ascontiguousarray(gt, np.float32)
+        else:
+            gt = self._scene(rng, self.size)
         mosaic = self.mosaic_rggb(gt)
         noisy = mosaic * self.gain + rng.normal(
             0, self.noise_std, mosaic.shape).astype(np.float32)
-        return {"noisy": np.clip(noisy, 0.0, 1.0).astype(np.float32),
-                "gt": gt}
+        out.update({"noisy": np.clip(noisy, 0.0, 1.0).astype(np.float32),
+                    "gt": gt})
+        return out
 
 
 class RawPairFolderDataset:
@@ -91,6 +122,7 @@ class RawPairFolderDataset:
         self.white_level = white_level
         self.is_train = is_train
         self.seed = seed
+        self._access = itertools.count()
         noisy_dir = os.path.join(root, "noisy")
         self.names = sorted(
             os.path.splitext(f)[0] for f in os.listdir(noisy_dir))
@@ -122,7 +154,7 @@ class RawPairFolderDataset:
             noisy = noisy[..., None]
         if self.data_size:
             s = self.data_size
-            rng = np.random.default_rng(self.seed * 7919 + idx)
+            rng = _crop_rng(self.seed, idx, next(self._access), self.is_train)
             h, w = noisy.shape[:2]
             y0 = int(rng.integers(0, max(h - s, 1) // 2 + 1)) * 2
             x0 = int(rng.integers(0, max(w - s, 1) // 2 + 1)) * 2
@@ -166,6 +198,76 @@ class SyntheticDetectionDataset(SyntheticRawDataset):
                 "gt": gt, "label": labels}
 
 
+class SyntheticPlantedDataset(SyntheticRawDataset):
+    """Planted-pipeline workload: the GT is produced by a KNOWN non-trivial
+    ISP applied to the clean mosaic, so a correct architecture search must
+    recover specific denoise/demosaic/WB/gamma choices — the accuracy-axis
+    validation BASELINE.md asks for ("search converging to the same
+    architecture").
+
+    Construction per sample:
+      scene S (linear BGR) -> camera raw = mosaic(S * cast) + shot/read noise
+      GT = gamma_{1/2.2}( wb_{cast^-1}( malvar( mosaic(S * cast) ) ) )
+    computed with THIS framework's own ops on the clean mosaic (host CPU),
+    so the planted architecture  Bayer_01(denoise) -> Demosaic_03(Malvar) ->
+    sRGB_11(wbmanual) -> sRGB_01(gamma)  can reproduce the GT exactly up to
+    the residual denoise error.  Heavy shot noise makes skip-denoise costly;
+    the color cast makes WB mandatory; the gamma bakes in a tone curve.
+    No exposure gain is planted (gain=1), so the degenerate
+    "whiteworld-undoes-exposure" solution of the plain synthetic workload
+    cannot win here.
+    """
+
+    # BGR channel gains the 'camera' applies (tungsten-ish cast)
+    CAST = (0.8, 1.0, 0.6)
+    # planted op params01: wbmanual gains = cast^-1 / 5; gamma exp 1/2.2
+    WB_PARAMS01 = tuple(1.0 / c / 5.0 for c in CAST)
+    GAMMA_PARAM01 = 0.5 - float(np.log(2.2) / (2.0 * np.log(3.0)))
+
+    def __init__(self, n: int = 64, size: int = 64, shot: float = 0.08,
+                 read: float = 0.02, seed: int = 0,
+                 data_size: Optional[int] = None):
+        super().__init__(n=n, size=size, noise_std=read, gain=1.0,
+                         seed=seed, data_size=data_size)
+        self.shot = shot
+        self._gt_cache: dict = {}
+        self._planted_fn = None
+
+    def _planted(self, clean_mosaic: np.ndarray) -> np.ndarray:
+        """Planted GT pipeline on the clean mosaic — host CPU jax."""
+        import jax
+        import jax.numpy as jnp
+        if self._planted_fn is None:
+            from reconfigisp_tpu.ops import demosaic as dm, color
+
+            def fn(m):
+                y = dm.demosaic_malvar(m, None, None)
+                wb = jnp.asarray([self.WB_PARAMS01], jnp.float32)
+                y = color.wb_manual(y, wb)
+                g = jnp.asarray([[self.GAMMA_PARAM01]], jnp.float32)
+                return color.gamma(y, g)
+
+            self._planted_fn = jax.jit(fn)
+        with jax.default_device(jax.devices("cpu")[0]):
+            return np.asarray(self._planted_fn(clean_mosaic[None]))[0]
+
+    def __getitem__(self, idx: int) -> dict:
+        if idx in self._gt_cache:
+            clean, gt = self._gt_cache[idx]
+        else:
+            rng = np.random.default_rng(self.seed * 100003 + idx)
+            scene = self._scene(rng, self.size)
+            cast = np.asarray(self.CAST, np.float32)[None, None, :]
+            clean = self.mosaic_rggb(np.clip(scene * cast, 0.0, 1.0))
+            gt = np.clip(self._planted(clean), 0.0, 1.0).astype(np.float32)
+            self._gt_cache[idx] = (clean, gt)
+        nrng = np.random.default_rng(self.seed * 900007 + idx)
+        sigma = np.sqrt((self.shot ** 2) * clean + self.noise_std ** 2)
+        noisy = clean + nrng.normal(0, 1, clean.shape).astype(np.float32) * sigma
+        return {"noisy": np.clip(noisy, 0.0, 1.0).astype(np.float32),
+                "gt": gt}
+
+
 class PairRecordDataset:
     """meta_info-indexed raw/GT pair dataset over any storage backend.
 
@@ -207,6 +309,7 @@ class PairRecordDataset:
         self.white_level = white_level
         self.is_train = is_train
         self.seed = seed
+        self._access = itertools.count()
 
     def __len__(self):
         return len(self.keys_noisy)
@@ -222,12 +325,14 @@ class PairRecordDataset:
     def __getitem__(self, idx: int) -> dict:
         noisy = self._to01(self.reader.read(self.keys_noisy[idx]),
                            self.white_level)
-        gt = self._to01(self.reader.read(self.keys_gt[idx]), 255.0)
+        # GT records are sRGB: uint8/255 or uint16/65535 (a 16-bit GT is
+        # full-range, not sensor-white scaled)
+        gt = self._to01(self.reader.read(self.keys_gt[idx]), 65535.0)
         if noisy.ndim == 2:
             noisy = noisy[..., None]
         if self.data_size and self.is_train:
             s = self.data_size
-            rng = np.random.default_rng(self.seed * 7919 + idx)
+            rng = _crop_rng(self.seed, idx, next(self._access), True)
             h, w = noisy.shape[:2]
             y0 = int(rng.integers(0, max(h - s, 1) // 2 + 1)) * 2
             x0 = int(rng.integers(0, max(w - s, 1) // 2 + 1)) * 2
@@ -276,6 +381,7 @@ class OnePlusDetectionDataset:
         self.seed = seed
         self.is_train = is_train
         self.classes = classes or ONEPLUS_CLASSES
+        self._access = itertools.count()
 
     def __len__(self):
         return len(self.img_files)
@@ -316,10 +422,15 @@ class OnePlusDetectionDataset:
         mosaic, rh, rw, top = self._load_resized(idx)
         raw_boxes = self._boxes(idx)
         s = self.data_size
-        rng = np.random.default_rng(self.seed * 50021 + idx)
+        rng = _crop_rng(self.seed, idx, next(self._access), self.is_train)
         d = self.desired
 
+        # keep the BEST crop across retries — most surviving boxes, ties (in
+        # particular the all-failed case) broken by the highest box-visibility
+        # fraction, so exhausted retries return the crop closest to containing
+        # an object rather than whatever the last draw happened to be
         best = (mosaic[:s, :s], np.zeros((self.max_boxes, 6), np.float32))
+        best_score = (-1, -1.0)
         for _ in range(self.max_crop):
             r0 = int(rng.integers(min(top, d - s), d - s + 1)) // 2 * 2 \
                 if self.is_train else top
@@ -327,6 +438,7 @@ class OnePlusDetectionDataset:
                 if self.is_train else 0
             labels = np.zeros((self.max_boxes, 6), np.float32)
             k = 0
+            max_vis = 0.0
             for cls, x0, y0, x1, y1 in raw_boxes:
                 # frame coords -> resized+padded coords -> crop coords
                 xa, xb = x0 * rw - c0, x1 * rw - c0
@@ -335,7 +447,10 @@ class OnePlusDetectionDataset:
                 yav, ybv = np.clip([ya, yb], 0, s - 1)
                 area = (xb - xa) * (yb - ya)
                 vis = (xbv - xav) * (ybv - yav)
-                if area <= 0 or vis / area < 0.5:  # IoU >= 0.5 filter
+                if area <= 0:
+                    continue
+                max_vis = max(max_vis, float(vis / area))
+                if vis / area < 0.5:  # IoU >= 0.5 filter
                     continue
                 if k < self.max_boxes:
                     labels[k] = [1.0, float(cls),
@@ -343,7 +458,9 @@ class OnePlusDetectionDataset:
                                  (xbv - xav) / s, (ybv - yav) / s]
                     k += 1
             crop = mosaic[r0:r0 + s, c0:c0 + s]
-            best = (crop, labels)
+            if (k, max_vis) > best_score:
+                best = (crop, labels)
+                best_score = (k, max_vis)
             if k > 0:
                 break
         crop, labels = best
@@ -362,12 +479,24 @@ def create_dataset(dataset_opt: dict):
             n=dataset_opt.get("n", 64) or 64,
             size=dataset_opt.get("data_size", 64) or 64,
             noise_std=dataset_opt.get("noise_std", 0.03) or 0.03,
-            seed=dataset_opt.get("seed", 0) or 0)
-    if mode in ("synthetic_yolo", "SyntheticYolo"):
-        return SyntheticDetectionDataset(
+            seed=dataset_opt.get("seed", 0) or 0,
+            global_prob=dataset_opt.get("global_prob", 0.0) or 0.0)
+    if mode in ("synthetic_planted", "SyntheticPlanted"):
+        return SyntheticPlantedDataset(
             n=dataset_opt.get("n", 64) or 64,
             size=dataset_opt.get("data_size", 64) or 64,
+            shot=dataset_opt.get("noise_shot", 0.08) or 0.08,
+            read=dataset_opt.get("noise_read", 0.02) or 0.02,
             seed=dataset_opt.get("seed", 0) or 0)
+    if mode in ("synthetic_yolo", "SyntheticYolo"):
+        # frame_size lets test configs emit frames LARGER than data_size —
+        # the split-mode shape regime (merged frame != configured crop size)
+        return SyntheticDetectionDataset(
+            n=dataset_opt.get("n", 64) or 64,
+            size=(dataset_opt.get("frame_size")
+                  or dataset_opt.get("data_size", 64) or 64),
+            seed=dataset_opt.get("seed", 0) or 0)
+    seed = dataset_opt.get("seed", 0) or 0
     if mode.startswith("OnePlus"):
         return OnePlusDetectionDataset(
             dataset_opt["dataroot"],
@@ -375,7 +504,7 @@ def create_dataset(dataset_opt: dict):
             desired=dataset_opt.get("desired_size", 1024) or 1024,
             max_crop=dataset_opt.get("max_crop", 4) or 4,
             max_boxes=dataset_opt.get("max_boxes", 16) or 16,
-            is_train=is_train)
+            seed=seed, is_train=is_train)
     if mode.startswith(("SID", "S7ISP", "Folder")):
         white = 16383.0 if mode.startswith("SID") else 1023.0
         root = dataset_opt["dataroot"]
@@ -383,11 +512,11 @@ def create_dataset(dataset_opt: dict):
         if os.path.exists(os.path.join(root, META_FILE)):
             return PairRecordDataset(
                 root, dataset_opt.get("data_size"), white_level=white,
-                is_train=is_train,
+                seed=seed, is_train=is_train,
                 data_type=dataset_opt.get("data_type"),
                 expo_in=dataset_opt.get("sid_expo_in"),
                 expo_gt=dataset_opt.get("sid_expo_gt"))
         return RawPairFolderDataset(
             root, dataset_opt.get("data_size"), white_level=white,
-            is_train=is_train)
+            seed=seed, is_train=is_train)
     raise ValueError(f"unknown dataset mode {mode!r}")

@@ -27,15 +27,30 @@ def grbg_to_rggb(mosaic: np.ndarray) -> np.ndarray:
     return mosaic[:, 1:-1]
 
 
+def _load_raw(path: str):
+    """-> (uint16 mosaic, dng-meta-or-None).  .npy loads directly; .dng/.tiff
+    goes through the pure-python TIFF-EP reader (data/dng.py — the rawpy
+    replacement, reference generate...SID_Sony.py:44-50)."""
+    if path.lower().endswith((".dng", ".tif", ".tiff")):
+        from reconfigisp_tpu.data import dng
+        return dng.read_dng(path)
+    return np.load(path), None
+
+
 def process_raw_pairs(raw_paths, gt_paths, out_root: str, *,
-                      black: float, white: float, ratio=1.0,
+                      black: Optional[float] = None,
+                      white: Optional[float] = None, ratio=1.0,
                       patch: Optional[int] = 256,
                       stride: Optional[int] = None,
                       packed: bool = False) -> int:
     """Normalize raws, cut aligned patches, write pair folders or a packed
     record file (data/backends.py).
 
-    raw .npy: (H, W) uint16 mosaic; gt .npy/.png: (H, W, 3) image.
+    raw: (H, W) uint16 mosaic .npy, or a DNG/TIFF-EP camera file (decoded
+    by data/dng.py); gt: .npy/.png image, or a DNG whose postprocessed sRGB
+    becomes the ground truth (the role rawpy.postprocess plays at reference
+    generate...SID_Sony.py:60-66).  black/white default to the DNG's
+    BlackLevel/WhiteLevel tags and MUST be given for .npy raws.
     `ratio` is the exposure-ratio scale applied to each raw — a scalar, or
     one value per pair for per-pair exposure handling (the reference bakes
     gt_exposure/in_exposure into its offline 'ratio' dumps,
@@ -61,9 +76,21 @@ def process_raw_pairs(raw_paths, gt_paths, out_root: str, *,
 
     count = 0
     for (raw_p, gt_p, r) in zip(raw_paths, gt_paths, ratios):
-        raw = np.load(raw_p)
-        mosaic = rawproc.normalize_u16(raw, black, white, r)
-        gt = np.load(gt_p) if gt_p.endswith(".npy") else _imread(gt_p)
+        raw, meta = _load_raw(raw_p)
+        b = black if black is not None else (
+            meta["black_level"] if meta else None)
+        w_ = white if white is not None else (
+            meta["white_level"] if meta else None)
+        if b is None or w_ is None:
+            raise ValueError(f"{raw_p}: black/white levels required for "
+                             ".npy raws (DNGs carry them in metadata)")
+        mosaic = rawproc.normalize_u16(raw, b, w_, r)
+        if gt_p.lower().endswith((".dng", ".tif", ".tiff")):
+            from reconfigisp_tpu.data import dng
+            gt_mosaic, gt_meta = dng.read_dng(gt_p)
+            gt = dng.postprocess(gt_mosaic, gt_meta)
+        else:
+            gt = np.load(gt_p) if gt_p.endswith(".npy") else _imread(gt_p)
         if gt.dtype == np.uint8:
             gt = gt.astype(np.float32) / 255.0
         name = os.path.splitext(os.path.basename(raw_p))[0]

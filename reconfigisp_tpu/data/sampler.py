@@ -29,7 +29,7 @@ class HalfSplitSampler:
 
     def __init__(self, n_total: int, half: str = "train", *,
                  rank: int = 0, world: int = 1, enlarge: int = 128,
-                 seed: int = 0):
+                 seed: int = 0, start_epoch: int = 0):
         lo, hi = (0, n_total // 2) if half == "train" else (n_total // 2, n_total)
         self.indices = np.arange(lo, hi)
         if len(self.indices) == 0:
@@ -37,6 +37,16 @@ class HalfSplitSampler:
         self.rank, self.world = rank, world
         self.enlarge = enlarge
         self.seed = seed
+        # resumed runs restart at the saved epoch so per-epoch permutations
+        # do not silently repeat from epoch 0 (reference train.py:165-169
+        # tracks epoch across reshuffles)
+        self.start_epoch = start_epoch
+
+    @property
+    def per_epoch_len(self) -> int:
+        """Samples this rank sees per (enlarged) epoch."""
+        return len(range(self.rank, len(self.indices) * self.enlarge,
+                         self.world))
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed + epoch)
@@ -45,7 +55,7 @@ class HalfSplitSampler:
         return reps[self.rank::self.world]
 
     def __iter__(self) -> Iterator[int]:
-        epoch = 0
+        epoch = self.start_epoch
         while True:
             for i in self.epoch_indices(epoch):
                 yield int(i)
@@ -98,7 +108,7 @@ class Loader:
 
 
 def create_loader(dataset, batch_size: int, *, shuffle_seed: int = 0,
-                  rank: int = 0, world: int = 1,
+                  rank: int = 0, world: int = 1, start_epoch: int = 0,
                   collate: Callable = default_collate) -> Loader:
     """Whole-dataset loader (fixed-pipeline training / test;
     reference data/__init__.py:26-28 uses bs=1 for test)."""
@@ -107,8 +117,12 @@ def create_loader(dataset, batch_size: int, *, shuffle_seed: int = 0,
         def __init__(self, n, seed):
             self.n, self.seed = n, seed
 
+        @property
+        def per_epoch_len(self):
+            return len(range(rank, self.n, world))
+
         def __iter__(self):
-            epoch = 0
+            epoch = start_epoch
             while True:
                 rng = np.random.default_rng(self.seed + epoch)
                 for i in rng.permutation(self.n)[rank::world]:
@@ -120,16 +134,18 @@ def create_loader(dataset, batch_size: int, *, shuffle_seed: int = 0,
 
 
 def create_search_loaders(dataset, batch_size: int, *, rank: int = 0,
-                          world: int = 1, seed: int = 0,
+                          world: int = 1, seed: int = 0, start_epoch: int = 0,
                           collate: Callable = default_collate):
     """(train_loader, val_loader) with the DARTS half-split
     (reference train.py:134-148)."""
     train = Loader(dataset,
                    HalfSplitSampler(len(dataset), "train", rank=rank,
-                                    world=world, seed=seed),
+                                    world=world, seed=seed,
+                                    start_epoch=start_epoch),
                    batch_size, collate)
     val = Loader(dataset,
                  HalfSplitSampler(len(dataset), "val", rank=rank,
-                                  world=world, seed=seed + 1),
+                                  world=world, seed=seed + 1,
+                                  start_epoch=start_epoch),
                  batch_size, collate)
     return train, val

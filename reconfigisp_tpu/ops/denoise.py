@@ -66,8 +66,61 @@ def _use_pallas(x) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _make_hybrid(pallas_name: str, jnp_fn):
-    """custom_vjp op: Pallas forward, jnp-VJP backward."""
+# direct jnp VJP above this many rows does not fit in HBM (the tap-scan
+# residuals scale with H); the strip VJP below recomputes per-strip instead
+_VJP_DIRECT_ROWS = 640
+_VJP_STRIP = 256
+
+
+def _strip_vjp(jnp_fn, halo: int, x, params, g, *, strip: int = _VJP_STRIP):
+    """Exact VJP of a windowed denoise op computed strip-by-strip.
+
+    Output row j depends only on input rows within `halo` of j, so the
+    full-frame Jacobian decomposes over row chunks.  Chunk s owns output
+    rows [s*strip, (s+1)*strip); its window is a fixed-size slab of REAL
+    frame rows, `clip(s*strip - halo, 0, h - L)` with L = strip + 2*halo.
+    Running the op on the slab reproduces the full-frame values (and
+    Jacobian) exactly for the owned rows: interior windows give every owned
+    row its full halo of real context, and edge-clipped windows start/end at
+    the true frame boundary, so the op's own reflect padding (including
+    fastnlm's box-filter reflect of the *difference field*) is applied at
+    exactly the rows the full-frame op applies it.  The cotangent is masked
+    to the owned rows, so overlapping window rows are never double-counted.
+    Peak memory is O(strip x W) instead of O(H x W) — the direct tap-scan
+    backward at 12 MP demands more residual memory than a v5e chip has.
+    """
+    n, h, w, c = x.shape
+    strip = min(strip, h)
+    L = strip + 2 * halo
+    if h <= L:  # too small to chunk — direct
+        _, vjp = jax.vjp(jnp_fn, x, params)
+        return vjp(g)
+    n_chunks = -(-h // strip)
+
+    def body(carry, s):
+        gx, gp = carry
+        wstart = jnp.clip(s * strip - halo, 0, h - L)
+        xe = lax.dynamic_slice(x, (0, wstart, 0, 0), (n, L, w, c))
+        ge = lax.dynamic_slice(g, (0, wstart, 0, 0), (n, L, w, c))
+        row_ids = wstart + jnp.arange(L)
+        owned = (row_ids >= s * strip) & (row_ids < (s + 1) * strip)
+        ge = ge * owned.astype(ge.dtype)[None, :, None, None]
+        _, vjp = jax.vjp(jnp_fn, xe, params)
+        dxe, dp = vjp(ge)
+        cur = lax.dynamic_slice(gx, (0, wstart, 0, 0), (n, L, w, c))
+        gx = lax.dynamic_update_slice(gx, cur + dxe, (0, wstart, 0, 0))
+        return (gx, jax.tree.map(jnp.add, gp, dp)), None
+
+    (gx, gp), _ = lax.scan(
+        body, (jnp.zeros_like(x), jnp.zeros_like(params)),
+        jnp.arange(n_chunks))
+    return gx, gp
+
+
+def _make_hybrid(pallas_name: str, jnp_fn, halo: int):
+    """custom_vjp op: Pallas forward; jnp-VJP backward — direct for frames
+    that fit, strip-recomputed (`_strip_vjp`) for large frames so jax.grad of
+    a >=512^2 denoise call cannot silently OOM."""
 
     @jax.custom_vjp
     def hybrid(x, params):
@@ -79,8 +132,10 @@ def _make_hybrid(pallas_name: str, jnp_fn):
 
     def bwd(res, g):
         x, params = res
-        _, vjp = jax.vjp(jnp_fn, x, params)
-        return vjp(g)
+        if x.shape[1] <= _VJP_DIRECT_ROWS:
+            _, vjp = jax.vjp(jnp_fn, x, params)
+            return vjp(g)
+        return _strip_vjp(jnp_fn, halo, x, params, g)
 
     hybrid.defvjp(fwd, bwd)
     return hybrid
@@ -353,7 +408,12 @@ def dct_denoise(x, params, weights=None):
 
 
 # hybrid instances (Pallas forward / jnp-VJP backward); defined at module
-# bottom so the jnp implementations referenced in the backward passes exist
-_bilateral_hybrid = _make_hybrid("bilateral_pallas", lambda x, p: _bilateral_jnp(x, p))
-_median_hybrid = _make_hybrid("median_pallas", lambda x, p: _median_jnp(x, p))
-_fastnlm_hybrid = _make_hybrid("fastnlm_pallas", lambda x, p: _fastnlm_jnp(x, p))
+# bottom so the jnp implementations referenced in the backward passes exist.
+# halo = row reach of one output pixel: window radius 7 for bilateral/median;
+# fastnlm adds the block box-filter radius (7 + 7).
+_bilateral_hybrid = _make_hybrid(
+    "bilateral_pallas", lambda x, p: _bilateral_jnp(x, p), halo=_MAX_R)
+_median_hybrid = _make_hybrid(
+    "median_pallas", lambda x, p: _median_jnp(x, p), halo=_MAX_R)
+_fastnlm_hybrid = _make_hybrid(
+    "fastnlm_pallas", lambda x, p: _fastnlm_jnp(x, p), halo=2 * _MAX_R)

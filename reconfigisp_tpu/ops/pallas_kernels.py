@@ -331,7 +331,6 @@ def fastnlm_pallas(x: jnp.ndarray, params: jnp.ndarray, weights=None, *,
     exact (wrap only touches reflect-padding columns)."""
     n, h, w, c = x.shape
     strip = _fit_strip(h, strip)
-    cp = _col_pad(w, c)
     block_r = jnp.clip(jnp.floor(params[:, 0] * 7.0), 0, 6).astype(jnp.int32) + 1
     block_r = jnp.broadcast_to(block_r[:1], block_r.shape)
     search_r = jnp.clip(jnp.floor(params[:, 1] * 7.0), 0, 6).astype(jnp.int32) + 1

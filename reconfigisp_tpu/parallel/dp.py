@@ -24,11 +24,13 @@ def make_data_parallel_step(step: Callable, mesh: Mesh) -> Callable:
     """step(variables, opt_state, batch, lr_scale) jitted with:
     batch sharded (N over data, H over space), everything else replicated."""
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
-    # prefix pytrees: one sharding covers the whole subtree
+    # prefix pytrees: one sharding covers the whole subtree.  The batch entry
+    # follows the shardings committed by mesh.shard_batch (per-leaf: images
+    # shard (data, space), labels/flags shard (data,)) — a single prefix spec
+    # cannot cover mixed-rank batch leaves.
     return jax.jit(
         step,
-        in_shardings=(rep, rep, bsh, None),
+        in_shardings=(rep, rep, None, None),
         out_shardings=(rep, rep, rep),
     )
 

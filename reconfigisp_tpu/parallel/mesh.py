@@ -39,9 +39,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a pytree of (N, H, ...) arrays as data/space-sharded."""
-    spec = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, spec), tree)
+    """Place a batch pytree on the mesh: image tensors (N, H, W, C) shard
+    N over data and H over space; other leading-batch arrays (labels,
+    per-sample flags) shard N over data only; scalars replicate."""
+    def put(x):
+        if getattr(x, "ndim", 0) == 4:
+            spec = P(DATA_AXIS, SPACE_AXIS)
+        elif getattr(x, "ndim", 0) >= 1:
+            spec = P(DATA_AXIS)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
 
 
 def replicate(mesh: Mesh, tree):

@@ -20,6 +20,7 @@ from __future__ import annotations
 import contextlib
 import os
 
+import jax
 import jax.numpy as jnp
 
 _DTYPES = {"f32": jnp.float32, "float32": jnp.float32,
@@ -32,6 +33,35 @@ _current = [_DTYPES.get(_default, jnp.float32)]
 def cnn_storage_dtype():
     """Storage dtype for CNN inter-layer activations (jnp dtype)."""
     return _current[-1]
+
+
+def policy_jit(fn, **jit_kw):
+    """jax.jit whose compilation cache is additionally keyed on the active
+    CNN storage policy.
+
+    The policy is a process global read at *trace* time, so a plain jax.jit
+    traced under one policy silently reuses the stale compiled program when
+    the policy later changes (the 'silent f32 trace' failure mode bench.py
+    once hit).  This wrapper keeps one jitted instance per policy and
+    dispatches on the policy active at call time, so entering cnn_storage()
+    always reaches a program traced under that policy.
+    """
+    cache: dict = {}
+
+    def call(*args, **kw):
+        name = jnp.dtype(cnn_storage_dtype()).name
+        jitted = cache.get(name)
+        if jitted is None:
+            # jax.jit keys its global trace cache on the wrapped function's
+            # identity — a fresh closure per policy forces a fresh trace
+            def per_policy(*a, _fn=fn, **k):
+                return _fn(*a, **k)
+
+            jitted = jax.jit(per_policy, **jit_kw)
+            cache[name] = jitted
+        return jitted(*args, **kw)
+
+    return call
 
 
 @contextlib.contextmanager

@@ -84,11 +84,12 @@ def make_darts_step(forward: Callable, criterion: Callable,
     opt_state, logs).  lr_scale multiplies both learning rates (scheduler).
     """
 
-    def loss_on(theta, alphas, omega, img, gt):
+    def loss_on(theta, alphas, omega, img, gt, glb_flag=None):
         out = forward(theta, alphas, omega, img)
         pred, latency = out[0], out[1]
         mids = out[2] if len(out) > 2 else None
-        return criterion(pred, gt, latency=latency), mids
+        kw = {} if glb_flag is None else {"glb_flag": glb_flag}
+        return criterion(pred, gt, latency=latency, **kw), mids
 
     def maybe_pmean(tree):
         if axis_name is None:
@@ -100,12 +101,15 @@ def make_darts_step(forward: Callable, criterion: Callable,
                                 variables["omega"])
         img, gt = batch["img"], batch["gt"]
         val_img, val_gt = batch["val_img"], batch["val_gt"]
+        # optional local/global flags (util_loss.py:26-64 criterion)
+        flag = batch.get("glb_flag")
+        val_flag = batch.get("val_glb_flag")
         lr_theta = cfg.lr_theta * lr_scale
         lr_alpha = cfg.lr_alpha * lr_scale
 
         # ---- 1) virtual step: theta' = theta - lr_meta*(mu*buf + g) ----
         g_w = jax.grad(loss_on, argnums=0, has_aux=True)(
-            theta, alphas, omega, img, gt)[0]
+            theta, alphas, omega, img, gt, flag)[0]
         g_w = maybe_pmean(g_w)
         velocity = jax.tree.map(
             lambda buf, g: cfg.momentum * buf + g, opt_state["momentum"], g_w)
@@ -113,7 +117,7 @@ def make_darts_step(forward: Callable, criterion: Callable,
 
         # ---- 2) unrolled val loss grads wrt (alphas, theta') ----
         (val_loss, _), (dalpha, dtheta_v) = jax.value_and_grad(
-            lambda a, tv: loss_on(tv, a, omega, val_img, val_gt),
+            lambda a, tv: loss_on(tv, a, omega, val_img, val_gt, val_flag),
             argnums=(0, 1), has_aux=True)(alphas, theta_v)
         dalpha = maybe_pmean(dalpha)
         dtheta_v = maybe_pmean(dtheta_v)
@@ -122,7 +126,7 @@ def make_darts_step(forward: Callable, criterion: Callable,
         norm = _global_norm(dtheta_v)
         eps = jnp.where(norm < 1e-6, 0.0, 0.01 / jnp.clip(norm, 1e-6, None))
         grad_alpha_at = jax.grad(
-            lambda a, t: loss_on(t, a, omega, img, gt)[0], argnums=0)
+            lambda a, t: loss_on(t, a, omega, img, gt, flag)[0], argnums=0)
         dalpha_pos = grad_alpha_at(alphas, _tree_scale_add(theta, dtheta_v, eps))
         dalpha_neg = grad_alpha_at(alphas, _tree_scale_add(theta, dtheta_v, -eps))
         denom = jnp.where(eps > 0, 2.0 * eps, 1.0)
@@ -154,7 +158,7 @@ def make_darts_step(forward: Callable, criterion: Callable,
         # optimize_parameters, so the weight step sees updated alphas)
         (train_loss, mids), g_theta = jax.value_and_grad(
             loss_on, argnums=0, has_aux=True)(
-            theta, new_alphas, omega, img, gt)
+            theta, new_alphas, omega, img, gt, flag)
         g_theta = maybe_pmean(g_theta)
         new_buf = jax.tree.map(
             lambda buf, g: cfg.momentum * buf + g, opt_state["momentum"], g_theta)

@@ -51,10 +51,24 @@ def _mosaic_batch(bgr: np.ndarray) -> np.ndarray:
     return np.stack([SyntheticRawDataset.mosaic_rggb(im) for im in bgr])
 
 
+# Transient backend failures a long TPU pretraining run should survive
+# (remote-compile flakes, device OOM/comm errors).  Programming errors
+# (shape bugs, bad plan wiring — TypeError/ValueError/etc.) propagate.
+def _transient_errors() -> tuple:
+    errs: tuple = (OSError,)
+    try:
+        from jax.errors import JaxRuntimeError
+        errs = (JaxRuntimeError,) + errs
+    except ImportError:  # pragma: no cover - old jax
+        errs = (RuntimeError,) + errs
+    return errs
+
+
 def pretrain_modules(steps: int = 1000, *, batch: int = 8, size: int = 48,
                      lr: float = 1e-3, seed: int = 0,
                      ops: Optional[set] = None, noise_std: float = 0.06,
-                     log_every: int = 100, verbose: bool = True) -> dict:
+                     log_every: int = 100, verbose: bool = True,
+                     strict: bool = False) -> dict:
     """-> {op_name: weights pytree} for every learned module (see module
     docstring for the task each one trains on)."""
     key = jax.random.PRNGKey(seed)
@@ -158,9 +172,11 @@ def pretrain_modules(steps: int = 1000, *, batch: int = 8, size: int = 48,
                 if verbose and (i + 1) % log_every == 0:
                     print(f"[{name}] step {i + 1}/{steps} "
                           f"l2 {float(loss):.3e}", flush=True)
-        except Exception as e:  # pragma: no cover - backend flake
-            # one op failing (e.g. a transient remote-compile error) must
-            # not lose the rest of a long pretraining run
+        except _transient_errors() as e:  # pragma: no cover - backend flake
+            # one op failing on a transient backend error must not lose the
+            # rest of a long pretraining run; strict=True re-raises instead
+            if strict:
+                raise
             print(f"[{name}] FAILED after {i} steps: {e}", flush=True)
             continue
         trained[name] = weights

@@ -72,8 +72,10 @@ class IspTrainer:
                 full.update(trainable)
                 pred, _, latency = pipeline(full, batch["noisy"],
                                             return_intermediates=True)
+                kw = ({"glb_flag": batch["glb_flag"]}
+                      if "glb_flag" in batch else {})
                 return self.criterion(pred, batch[self.target_key],
-                                      latency=latency), pred
+                                      latency=latency, **kw), pred
 
             (loss, pred), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable_of(state))
@@ -153,6 +155,9 @@ class DartsTrainer:
         tk = self.target_key
         batch = {"img": train_batch["noisy"], "gt": train_batch[tk],
                  "val_img": val_batch["noisy"], "val_gt": val_batch[tk]}
+        if "glb_flag" in train_batch:
+            batch["glb_flag"] = train_batch["glb_flag"]
+            batch["val_glb_flag"] = val_batch["glb_flag"]
         batch = _to_device_batch(batch)
         if self._mesh is not None:
             batch = meshlib.shard_batch(self._mesh, batch)
@@ -287,6 +292,16 @@ class DartsFtTrainer(DartsTrainer):
                     self.ft_data.append(np.asarray(t))
         if len(self.ft_data) > self.memory_size:
             self.ft_data = self.ft_data[-self.memory_size:]
+
+    def save(self, models_dir: str, state_dir: str, epoch: int):
+        """Monolithic state + each tuned proxy under its own op name
+        (reference darts_ft_model.py:165-169), so a tuned proxy can be
+        exported into a fixed pipeline via `module_weight_paths`."""
+        super().save(models_dir, state_dir, epoch)
+        for spec in self.ft_ops:
+            checkpoint.save_network(models_dir, f"proxy_{spec.name}",
+                                    self.step_idx,
+                                    self.variables["omega"][spec.name])
 
     def finetune_proxies(self) -> dict:
         if not self.ft_data or self.ft_steps < 1:
@@ -425,6 +440,7 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
     key = jax.random.PRNGKey(seed)
 
     dataset_opt = dict(opt["datasets"]["train"])
+    dataset_opt.setdefault("seed", seed)
     dataset = data_override or create_dataset(dataset_opt)
     batch_size = dataset_opt.get("batch_size", 4) or 4
 
@@ -485,12 +501,14 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
                                    criterion=criterion, target_key=target_key)
 
         # resume if a training state exists (wired, unlike reference)
+        start_epoch = 0
         state_dir = paths.get("training_state")
         if resume and state_dir:
             latest = checkpoint.latest_state(state_dir)
             if latest:
-                epoch = trainer.resume(latest)
-                logger.info(f"resumed from {latest} (step {trainer.step_idx})")
+                start_epoch = trainer.resume(latest)
+                logger.info(f"resumed from {latest} (step {trainer.step_idx}, "
+                            f"epoch {start_epoch})")
 
         # pretrained module weights (reference super_prune...py:34-47 loads
         # 12 proxy checkpoints at construction; produced here by
@@ -499,13 +517,24 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
             loaded = checkpoint.load_network(paths["pretrain_proxies"])
             names = trainer.load_pretrained(loaded)
             logger.info(f"pretrained weights installed for {sorted(names)}")
+            missing = sorted(set(trainer.variables["omega"]) - set(names))
+            if missing:
+                logger.warning(
+                    f"pretrain_proxies checkpoint covers no weights for "
+                    f"{missing} — those modules enter the search untrained")
 
         # process-sharded iteration (replaces DistIterTrain/ValSampler's
         # rank striding, reference data_sampler.py:98-102); single-process
-        # runs see rank 0 / world 1
+        # runs see rank 0 / world 1.  Resumed runs restart the samplers at
+        # the saved epoch so sampling order does not repeat from epoch 0.
         train_loader, val_loader = create_search_loaders(
-            dataset, batch_size, seed=seed,
+            dataset, batch_size, seed=seed, start_epoch=start_epoch,
             rank=jax.process_index(), world=jax.process_count())
+        per_epoch_steps = max(
+            train_loader.sampler.per_epoch_len // batch_size, 1)
+        resumed_step = trainer.step_idx
+        cur_epoch = lambda: start_epoch + (
+            (trainer.step_idx - resumed_step) // per_epoch_steps)
         logger_opt = opt.get("logger") or {}
         print_freq = logger_opt.get("print_freq", 10)
         save_freq = logger_opt.get("save_checkpoint_freq")
@@ -556,12 +585,14 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
             if save_freq and main_proc \
                     and trainer.step_idx % int(save_freq) == 0 \
                     and paths.get("models"):
-                trainer.save(paths["models"], paths["training_state"], 0)
+                trainer.save(paths["models"], paths["training_state"],
+                             cur_epoch())
         arch = trainer.architecture()
         logger.info(f"final architecture: {arch}")
         summary = {"architecture": arch, **logs}
         if paths.get("models") and main_proc:
-            trainer.save(paths["models"], paths["training_state"], 0)
+            trainer.save(paths["models"], paths["training_state"],
+                         cur_epoch())
     else:
         pipe = Pipeline(net_opt["architecture"],
                         use_proxy=bool(net_opt.get("use_proxy")))

@@ -56,6 +56,7 @@ def main():
     ds_opt["is_train"] = False
     dataset = create_dataset(ds_opt)
 
+    from reconfigisp_tpu import precision as precision_mod
     split = bool(ds_opt.get("patch_size"))
     if split:
         from reconfigisp_tpu.parallel.tiling import tiled_apply
@@ -64,7 +65,7 @@ def main():
         # one compiled program for the whole tiled frame (gather + lax.map
         # over chunks + feathered blend) — the reference pays a full
         # host<->device round trip per patch (test_split.py:88-100)
-        tiled_fwd = jax.jit(lambda s, xx: tiled_apply(
+        tiled_fwd = precision_mod.policy_jit(lambda s, xx: tiled_apply(
             lambda pp: pipe(s, pp), xx, patch=patch, stride=stride))
 
     out_dir = paths.get("results_root")
@@ -82,16 +83,17 @@ def main():
         all_dets, all_gts, all_tcls = [], [], []
 
     save_strips = bool(ds_opt.get("save_strips", True))
-    fwd = jax.jit(lambda s, x: pipe(s, x, return_intermediates=True))
+    # policy_jit keys the compile cache on the storage policy, so the
+    # `precision:` option applies no matter when the first trace happens
+    fwd = precision_mod.policy_jit(
+        lambda s, x: pipe(s, x, return_intermediates=True))
     psnrs, ssims = [], []
     n = len(dataset) if args.max_images is None \
         else min(args.max_images, len(dataset))
     # storage precision for the CNN stacks (option `precision: bf16`
-    # halves activation HBM traffic on TPU).  The policy is read at trace
-    # time, so it must be active when the loop below triggers the first
-    # compile; this is a one-shot CLI, so enter it for the process lifetime.
+    # halves activation HBM traffic on TPU); one-shot CLI, so enter the
+    # policy for the process lifetime.
     if opt.get("precision"):
-        from reconfigisp_tpu import precision as precision_mod
         ctx = precision_mod.cnn_storage(str(opt["precision"]))
         ctx.__enter__()
     for i in range(n):
@@ -111,9 +113,15 @@ def main():
             logger.info(f"[{i}] psnr {p:.3f} ssim {s:.4f}")
         if is_yolo:
             heads = apply_yolo(yweights, blocks, y[..., ::-1])
+            # decode strides come from the ACTUAL frame fed to the detector —
+            # in split mode the merged frame can be larger than data_size, and
+            # using the configured size would mis-scale every box (the
+            # reference's yolo split test only renders, test_yolo_split.py:125;
+            # here mAP is wired, so the grid must match the frame)
+            frame_h, frame_w = int(y.shape[1]), int(y.shape[2])
             boxes, confs, clss = [], [], []
             for head, anchors, _ in heads:
-                b, cf, cl = decode_head(head, anchors, img_size)
+                b, cf, cl = decode_head(head, anchors, frame_h)
                 boxes.append(np.asarray(b[0]).reshape(-1, 4))
                 confs.append(np.asarray(cf[0]).reshape(-1))
                 clss.append(np.asarray(cl[0]).reshape(-1, cl.shape[-1]))
@@ -125,10 +133,10 @@ def main():
             valid = lab[lab[:, 0] > 0.5]
             gtb = np.zeros((len(valid), 5), np.float32)
             gtb[:, 0] = valid[:, 1]
-            gtb[:, 1] = (valid[:, 2] - valid[:, 4] / 2) * img_size
-            gtb[:, 2] = (valid[:, 3] - valid[:, 5] / 2) * img_size
-            gtb[:, 3] = (valid[:, 2] + valid[:, 4] / 2) * img_size
-            gtb[:, 4] = (valid[:, 3] + valid[:, 5] / 2) * img_size
+            gtb[:, 1] = (valid[:, 2] - valid[:, 4] / 2) * frame_w
+            gtb[:, 2] = (valid[:, 3] - valid[:, 5] / 2) * frame_h
+            gtb[:, 3] = (valid[:, 2] + valid[:, 4] / 2) * frame_w
+            gtb[:, 4] = (valid[:, 3] + valid[:, 5] / 2) * frame_h
             all_dets.append(dets)
             all_gts.append(gtb)
             all_tcls.extend(valid[:, 1].tolist())

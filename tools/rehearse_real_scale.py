@@ -1,0 +1,311 @@
+#!/usr/bin/env python
+"""Real-scale rehearsal: prove the shipped real-workload configs execute
+unmodified (except dataroot/weights pointed at fabricated fixtures) at TRUE
+reference data scale:
+
+  SID leg   — 1424x2128 14-bit RGGB frames (reference
+              generate_rggb2bgr_imgs_SID_Sony.py:50), ingested from
+              fabricated DNGs through data/dng.py + preprocessing, then:
+              configs/SID_search.yaml (3-step/15-op native search, 48px
+              crops) -> configs/SID_isp.yaml (192px fixed training) ->
+              configs/SID_test.yaml (512/480 tiled full-frame eval with
+              exposure-pair selection).
+  OnePlus leg — 3000x4000 10-bit mosaics + labelme JSONs (reference
+              oneplus_rggb2obj layout), full 80-class YOLOv3 with a
+              save_darknet_weights-produced binary, then:
+              configs/yolo_search.yaml (256px darts_yolo search) ->
+              configs/yolo_isp.yaml (512px fixed training) ->
+              configs/yolo_test.yaml (1024px detection eval).
+
+Budgets are smoke-sized (--iters); the point is that every config, data
+path, and shape regime of the reference workloads runs end to end on TPU.
+Writes experiments/rehearsal/results.json.
+
+Usage:  python tools/rehearse_real_scale.py [--root DIR] [--iters N]
+        [--legs sid,yolo]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print("[rehearsal]", *a, flush=True)
+
+
+def _smooth_scene(rng, h, w):
+    """Piecewise-smooth BGR scene at arbitrary aspect (low-res noise x8)."""
+    import cv2
+    low = rng.uniform(0.1, 0.9, (h // 64 + 2, w // 64 + 2, 3)).astype(np.float32)
+    img = cv2.resize(low, (w, h), interpolation=cv2.INTER_CUBIC)
+    for _ in range(6):
+        y0, x0 = rng.integers(0, h // 2), rng.integers(0, w // 2)
+        hh, ww = rng.integers(h // 8, h // 2), rng.integers(w // 8, w // 2)
+        img[y0:y0 + hh, x0:x0 + ww] = \
+            0.5 * img[y0:y0 + hh, x0:x0 + ww] + 0.5 * rng.uniform(0.1, 0.9, 3)
+    return np.clip(img, 0, 1)
+
+
+def _mosaic(bgr):
+    h, w, _ = bgr.shape
+    m = np.zeros((h, w), np.float32)
+    m[0::2, 0::2] = bgr[0::2, 0::2, 2]
+    m[0::2, 1::2] = bgr[0::2, 1::2, 1]
+    m[1::2, 0::2] = bgr[1::2, 0::2, 1]
+    m[1::2, 1::2] = bgr[1::2, 1::2, 0]
+    return m
+
+
+# --------------------------------------------------------------- SID leg
+
+def build_sid_fixtures(root, n_train=2, n_test=1, seed=0):
+    """Fabricated SID: short-exposure DNG raws (1424x2128, 14-bit, black
+    512) + GT pngs; train pair FOLDER via preprocessing (DNG ingress) and a
+    test PACKED dataset with exposure-tagged keys."""
+    import cv2
+    from reconfigisp_tpu.data import dng, preprocessing
+    from reconfigisp_tpu.data.backends import PackedPairWriter
+
+    H, W = 1424, 2128
+    BLACK, WHITE = 512, 16383
+    rng = np.random.default_rng(seed)
+    raw_dir = os.path.join(root, "sid_raw")
+    os.makedirs(raw_dir, exist_ok=True)
+
+    def fabricate(i, ratio=100.0):
+        scene = _smooth_scene(rng, H, W)
+        clean = _mosaic(scene)
+        short = clean / ratio + rng.normal(0, 0.002, clean.shape)
+        raw_u16 = np.clip(short * (WHITE - BLACK) + BLACK,
+                          0, WHITE).astype(np.uint16)
+        gt_u8 = (scene * 255).astype(np.uint8)
+        rp = os.path.join(raw_dir, f"{i:05d}_0.1s_10s.dng")
+        gp = os.path.join(raw_dir, f"{i:05d}_gt.png")
+        dng.write_dng(rp, raw_u16, black=BLACK, white=WHITE, bits=14)
+        cv2.imwrite(gp, gt_u8)
+        return rp, gp
+
+    train_pairs = [fabricate(i) for i in range(n_train)]
+    train_root = os.path.join(root, "sid_train")
+    n = preprocessing.process_raw_pairs(
+        [p[0] for p in train_pairs], [p[1] for p in train_pairs],
+        train_root, ratio=100.0, patch=None)
+    log(f"SID train fixtures: {n} full frames at {H}x{W} (DNG ingress)")
+
+    test_root = os.path.join(root, "sid_test")
+    with PackedPairWriter(test_root, resolution=None) as w:
+        for i in range(n_test):
+            rp, gp = fabricate(100 + i)
+            mosaic, meta = dng.read_dng(rp)
+            m01 = (mosaic.astype(np.float32) - meta["black_level"]) / (
+                meta["white_level"] - meta["black_level"]) * 100.0
+            gt = cv2.imread(gp, cv2.IMREAD_UNCHANGED)
+            w.add_pair(f"noisy/{100 + i:05d}_0.1s", np.clip(m01, 0, 1),
+                       f"gt/{100 + i:05d}_10s", gt)
+    log(f"SID test fixtures: {n_test} packed frames with exposure keys")
+    return train_root, test_root
+
+
+def run_sid_leg(root, iters):
+    from reconfigisp_tpu import config
+    from reconfigisp_tpu.search.trainer import run_training
+
+    train_root, test_root = build_sid_fixtures(root)
+    out = {}
+
+    # --- search (configs/SID_search.yaml) ---
+    opt = config.parse("configs/SID_search.yaml", is_train=True)
+    opt["datasets"]["train"]["dataroot"] = train_root
+    opt["dist"] = False           # one real chip in this environment
+    opt["use_tb_logger"] = False
+    t0 = time.time()
+    s = run_training(opt, max_iters=iters)
+    out["search"] = {"architecture": s["architecture"],
+                     "loss": s.get("loss"),
+                     "s_per_iter": round((time.time() - t0) / iters, 3)}
+    log(f"SID search ok: {s['architecture']} "
+        f"({out['search']['s_per_iter']}s/iter)")
+
+    # --- fixed training (configs/SID_isp.yaml) ---
+    opt = config.parse("configs/SID_isp.yaml", is_train=True)
+    opt["datasets"]["train"]["dataroot"] = train_root
+    opt["use_tb_logger"] = False
+    t0 = time.time()
+    s = run_training(opt, max_iters=iters)
+    out["isp"] = {"loss": s.get("loss"),
+                  "s_per_iter": round((time.time() - t0) / iters, 3)}
+    ckpts = sorted(glob.glob("experiments/SID_isp/models/*_G.ckpt"))
+    assert ckpts, "SID_isp saved no checkpoint"
+    log(f"SID isp ok ({out['isp']['s_per_iter']}s/iter) -> {ckpts[-1]}")
+
+    # --- tiled full-frame test (configs/SID_test.yaml) ---
+    import yaml as _yaml
+    with open("configs/SID_test.yaml") as f:
+        topt = _yaml.safe_load(f)
+    topt["datasets"]["test"]["dataroot"] = test_root
+    topt["path"]["pretrain_model_G"] = ckpts[-1]
+    tpath = os.path.join(root, "SID_test_rehearsal.yaml")
+    with open(tpath, "w") as f:
+        _yaml.safe_dump(topt, f)
+    out["test"] = _run_test_cli(tpath)
+    log(f"SID tiled test ok: {out['test']}")
+    return out
+
+
+# ------------------------------------------------------------ OnePlus leg
+
+def build_oneplus_fixtures(root, n=2, seed=0):
+    """3000x4000 10-bit mosaics + labelme JSONs + an 80-class darknet
+    weight binary produced by save_darknet_weights."""
+    import cv2
+    import jax
+    from reconfigisp_tpu.yolo.cfg import yolov3_blocks
+    from reconfigisp_tpu.yolo.net import init_yolo, save_darknet_weights
+
+    H, W = 3000, 4000
+    rng = np.random.default_rng(seed)
+    data_root = os.path.join(root, "oneplus")
+    os.makedirs(data_root, exist_ok=True)
+    for i in range(n):
+        scene = _smooth_scene(rng, H, W) * 0.35
+        shapes = []
+        for _ in range(4):
+            hh, ww = rng.integers(300, 900), rng.integers(300, 900)
+            y0 = int(rng.integers(0, H - hh))
+            x0 = int(rng.integers(0, W - ww))
+            scene[y0:y0 + hh, x0:x0 + ww] = rng.uniform(0.7, 1.0, 3)
+            shapes.append({"label": "car",
+                           "points": [[int(x0), int(y0)],
+                                      [int(x0 + ww), int(y0 + hh)]]})
+        mosaic = (np.clip(_mosaic(scene), 0, 1) * 1023).astype(np.uint16)
+        cv2.imwrite(os.path.join(data_root, f"{i:03d}.png"), mosaic)
+        with open(os.path.join(data_root, f"{i:03d}.json"), "w") as f:
+            json.dump({"shapes": shapes}, f)
+
+    blocks = yolov3_blocks(num_classes=80)
+    weights = init_yolo(jax.random.PRNGKey(0), blocks)
+    wpath = os.path.join(root, "yolov3.weights")
+    save_darknet_weights(blocks, weights, wpath)
+    log(f"OnePlus fixtures: {n} frames at {H}x{W}, 80-class darknet "
+        f"weights {os.path.getsize(wpath) / 1e6:.0f} MB")
+    return data_root, wpath
+
+
+def run_yolo_leg(root, iters):
+    from reconfigisp_tpu import config
+    from reconfigisp_tpu.search.trainer import run_training
+
+    data_root, wpath = build_oneplus_fixtures(root)
+    out = {}
+
+    # --- detection-driven search (configs/yolo_search.yaml) ---
+    opt = config.parse("configs/yolo_search.yaml", is_train=True)
+    opt["datasets"]["train"]["dataroot"] = data_root
+    opt["yolo"]["weights"] = wpath
+    opt["dist"] = False
+    opt["use_tb_logger"] = False
+    t0 = time.time()
+    s = run_training(opt, max_iters=max(2, iters // 4))
+    it = max(2, iters // 4)
+    out["search"] = {"architecture": s["architecture"],
+                     "loss": s.get("loss"),
+                     "s_per_iter": round((time.time() - t0) / it, 2)}
+    log(f"yolo search ok: {s['architecture']} "
+        f"({out['search']['s_per_iter']}s/iter)")
+
+    # --- 512px fixed training (configs/yolo_isp.yaml) ---
+    opt = config.parse("configs/yolo_isp.yaml", is_train=True)
+    opt["datasets"]["train"]["dataroot"] = data_root
+    opt["yolo"]["weights"] = wpath
+    opt["use_tb_logger"] = False
+    t0 = time.time()
+    s = run_training(opt, max_iters=max(2, iters // 4))
+    out["isp"] = {"loss": s.get("loss"),
+                  "s_per_iter": round((time.time() - t0) / it, 2)}
+    ckpts = sorted(glob.glob("experiments/yolo_isp/models/*_G.ckpt"))
+    assert ckpts, "yolo_isp saved no checkpoint"
+    log(f"yolo isp ok ({out['isp']['s_per_iter']}s/iter)")
+
+    # --- 1024px detection eval (configs/yolo_test.yaml) ---
+    import yaml as _yaml
+    with open("configs/yolo_test.yaml") as f:
+        topt = _yaml.safe_load(f)
+    topt["datasets"]["test"]["dataroot"] = data_root
+    topt["yolo"]["weights"] = wpath
+    topt["path"]["pretrain_model_G"] = ckpts[-1]
+    tpath = os.path.join(root, "yolo_test_rehearsal.yaml")
+    with open(tpath, "w") as f:
+        _yaml.safe_dump(topt, f)
+    out["test"] = _run_test_cli(tpath)
+    log(f"yolo 1024px eval ok: {out['test']}")
+    return out
+
+
+def _run_test_cli(opt_path) -> dict:
+    """Run the repo-root test.py in-process and scrape its summary line."""
+    import importlib.util
+    import io
+    import contextlib
+    spec = importlib.util.spec_from_file_location(
+        "reconfigisp_test_cli_rehearsal",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "test.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = sys.argv
+    sys.argv = ["test.py", "--opt", opt_path]
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            mod.main()
+    finally:
+        sys.argv = argv
+    res = {}
+    for line in buf.getvalue().splitlines():
+        if "=" in line:
+            k, v = line.split("=", 1)
+            try:
+                res[k] = float(v)
+            except ValueError:
+                pass
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="experiments/rehearsal/data")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--legs", default="sid,yolo")
+    args = ap.parse_args()
+
+    os.makedirs(args.root, exist_ok=True)
+    results = {}
+    rpath = "experiments/rehearsal/results.json"
+    os.makedirs(os.path.dirname(rpath), exist_ok=True)
+    if os.path.exists(rpath):
+        with open(rpath) as f:
+            results = json.load(f)
+    legs = args.legs.split(",")
+    if "sid" in legs:
+        results["sid"] = run_sid_leg(args.root, args.iters)
+        with open(rpath, "w") as f:
+            json.dump(results, f, indent=1)
+    if "yolo" in legs:
+        results["yolo"] = run_yolo_leg(args.root, args.iters)
+        with open(rpath, "w") as f:
+            json.dump(results, f, indent=1)
+    log("rehearsal complete:", json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
