@@ -141,11 +141,64 @@ def _make_hybrid(pallas_name: str, jnp_fn, halo: int):
     return hybrid
 
 
+# ---------------------------------------------------------------------------
+# Small-frame vectorized tap path: at search-crop sizes the full 225-tap
+# stack is a few MB, so the whole window runs data-parallel in ONE pass
+# instead of a 15-iteration sequential fori_loop — the loops serialize the
+# native search step (3 sRGB slots x 5 DARTS passes x remat recompute).
+# Gate: total stacked elements, so big frames keep the rolled/Pallas forms.
+# ---------------------------------------------------------------------------
+
+_VECTOR_TAPS_MAX_ELEMS = 48 * 1024 * 1024  # ~192 MB f32 stack
+
+
+def _small(x) -> bool:
+    n, h, w, c = x.shape
+    k2 = (2 * _MAX_R + 1) ** 2
+    return n * h * w * c * k2 <= _VECTOR_TAPS_MAX_ELEMS
+
+
+def _tap_stack(padded, h, w):
+    """(N, H+2R, W+2R, C) -> (K2, N, H, W, C): every window offset."""
+    return jnp.stack(
+        [padded[:, _MAX_R + dy:_MAX_R + dy + h,
+                _MAX_R + dx:_MAX_R + dx + w, :]
+         for dy in range(-_MAX_R, _MAX_R + 1)
+         for dx in range(-_MAX_R, _MAX_R + 1)])
+
+
+def _tap_offsets():
+    """(K2,) squared distance and Chebyshev radius of each offset."""
+    dy, dx = jnp.meshgrid(jnp.arange(-_MAX_R, _MAX_R + 1),
+                          jnp.arange(-_MAX_R, _MAX_R + 1), indexing="ij")
+    dy = dy.reshape(-1).astype(jnp.float32)
+    dx = dx.reshape(-1).astype(jnp.float32)
+    return dy * dy + dx * dx, jnp.maximum(jnp.abs(dy), jnp.abs(dx))
+
+
 def bilateral(x, params, weights=None):
     """Bilateral filter (reference tools_origin.py:673-717, proxy-only there)."""
     if _use_pallas(x):
         return _bilateral_hybrid(x, params)
+    if _small(x):
+        return _bilateral_vec(x, params)
     return _bilateral_jnp(x, params)
+
+
+def _bilateral_vec(x, params):
+    """One-pass 225-tap form of _bilateral_jnp (identical numerics)."""
+    n, h, w, c = x.shape
+    radius = _size01_to_radius(params[:, 0])[None, :, None, None, None]
+    inv_2sc2 = (0.5 / (1.0 + 99.0 * params[:, 1]) ** 2)[None, :, None, None, None]
+    inv_2ss2 = (0.5 / (1.0 + 99.0 * params[:, 2]) ** 2)[None, :, None, None, None]
+    x255 = x * 255.0
+    taps = _tap_stack(_pad_reflect(x255, _MAX_R), h, w)  # (K2,N,H,W,C)
+    dist2, cheb = _tap_offsets()
+    include = (cheb[:, None, None, None, None] <= radius).astype(x.dtype)
+    wgt = include * jnp.exp(-dist2[:, None, None, None, None] * inv_2ss2
+                            - (taps - x255[None]) ** 2 * inv_2sc2)
+    out = jnp.sum(wgt * taps, 0) / jnp.clip(jnp.sum(wgt, 0), 1e-8, None)
+    return jnp.clip(out / 255.0, 0.0, 1.0)
 
 
 def _bilateral_jnp(x, params):
@@ -189,14 +242,36 @@ def _bilateral_jnp(x, params):
     return jnp.clip(out / 255.0, 0.0, 1.0)
 
 
+# jnp median materializes a (..., (2r+1)^2) tap stack for the sort — 225x
+# the image at r=7 (1.5 GB for a 256^2 val batch).  Rows are independent, so
+# frames taller than this are processed in lax.map'ed row strips that bound
+# peak memory at 225 x strip x W while keeping jnp.median's exact
+# median-tap selection gradient.
+_MEDIAN_STRIP = 64
+
+
+def _median_taps(slab, r, rows, w):
+    """(N, rows+2r, W+2r, C) padded slab -> (N, rows, W, C) median."""
+    taps = [slab[:, r + dy:r + dy + rows, r + dx:r + dx + w, :]
+            for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+    return jnp.median(jnp.stack(taps, axis=-1), axis=-1)
+
+
 def _median_fixed(x, r):
     """Median filter with static radius r (window (2r+1)^2)."""
     n, h, w, c = x.shape
     padded = _pad_reflect(x, r)
-    taps = [padded[:, r + dy:r + dy + h, r + dx:r + dx + w, :]
-            for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
-    stack = jnp.stack(taps, axis=-1)  # (N,H,W,C,K^2)
-    return jnp.median(stack, axis=-1)
+    strip = _MEDIAN_STRIP
+    if h <= strip or h % strip:
+        return _median_taps(padded, r, h, w)
+
+    def chunk(s):
+        slab = lax.dynamic_slice(
+            padded, (0, s, 0, 0), (n, strip + 2 * r, w + 2 * r, c))
+        return _median_taps(slab, r, strip, w)
+
+    out = lax.map(chunk, jnp.arange(h // strip) * strip)  # (S,N,strip,W,C)
+    return jnp.moveaxis(out, 0, 1).reshape(n, h, w, c)
 
 
 def median(x, params, weights=None):
@@ -242,7 +317,33 @@ def fastnlm(x, params, weights=None):
     """
     if _use_pallas(x):
         return _fastnlm_hybrid(x, params)
+    if _small(x):
+        return _fastnlm_vec(x, params)
     return _fastnlm_jnp(x, params)
+
+
+def _fastnlm_vec(x, params):
+    """One-pass 225-tap form of _fastnlm_jnp (identical numerics): the
+    per-tap box-filtered patch distances run with the tap axis folded into
+    the batch, so all 225 search offsets are data-parallel."""
+    n, h, w, c = x.shape
+    k2 = (2 * _MAX_R + 1) ** 2
+    search_radius = _size01_to_radius(params[:, 1])[None, :, None, None, None]
+    inv_h2 = (1.0 / (1.0 + 99.0 * params[:, 2]) ** 2)[None, :, None, None, None]
+    x255 = x * 255.0
+    taps = _tap_stack(_pad_reflect(x255, _MAX_R), h, w)  # (K2,N,H,W,C)
+    _, cheb = _tap_offsets()
+    include = (cheb[:, None, None, None, None] <= search_radius).astype(x.dtype)
+    diff2 = ((taps - x255[None]) ** 2).reshape(k2 * n, h, w, c)
+
+    def run(block_r):
+        d2 = _box_filter(diff2, block_r).reshape(k2, n, h, w, c)
+        wgt = include * jnp.exp(-d2 * inv_h2)
+        return jnp.sum(wgt * taps, 0) / jnp.clip(jnp.sum(wgt, 0), 1e-8, None)
+
+    block_idx = jnp.clip(jnp.floor(params[0, 0] * 7.0), 0, 6).astype(jnp.int32)
+    out = lax.switch(block_idx, [lambda r=r: run(r) for r in range(1, 8)])
+    return jnp.clip(out / 255.0, 0.0, 1.0)
 
 
 def _fastnlm_jnp(x, params):
