@@ -42,6 +42,12 @@ class DartsConfig:
     beta1: float = 0.9
     beta2: float = 0.99
     adam_eps: float = 1e-8
+    # 2 = the reference's unrolled bilevel step (5 fwd/bwd passes);
+    # 1 = first-order DARTS (Liu et al. 2019 sec 2.3, xi=0): alphas step on
+    #     the plain val gradient at the current weights — 2 fwd/bwd passes,
+    #     ~2.5x cheaper per iteration.  The reference implements only the
+    #     second-order form; this is a documented extension.
+    order: int = 2
 
 
 def _tree_scale_add(a, b, s):
@@ -107,42 +113,58 @@ def make_darts_step(forward: Callable, criterion: Callable,
         lr_theta = cfg.lr_theta * lr_scale
         lr_alpha = cfg.lr_alpha * lr_scale
 
-        # ---- 1) virtual step: theta' = theta - lr_meta*(mu*buf + g) ----
-        g_w = jax.grad(loss_on, argnums=0, has_aux=True)(
-            theta, alphas, omega, img, gt, flag)[0]
-        g_w = maybe_pmean(g_w)
-        velocity = jax.tree.map(
-            lambda buf, g: cfg.momentum * buf + g, opt_state["momentum"], g_w)
-        theta_v = _tree_scale_add(theta, velocity, -cfg.lr_meta)
+        if cfg.order == 1:
+            # first-order: alphas step on the val gradient at the current
+            # weights (no virtual step, no Hessian) — 2 passes total
+            (val_loss, _), dalpha = jax.value_and_grad(
+                lambda a: loss_on(theta, a, omega, val_img, val_gt, val_flag),
+                has_aux=True)(alphas)
+            dalpha = maybe_pmean(dalpha)
+            g_alpha = jax.tree.map(
+                lambda da: jnp.where(jnp.any(jnp.isnan(da)),
+                                     jnp.zeros_like(da), da), dalpha)
+            eps = jnp.zeros(())
+            norm = jnp.zeros(())
+        else:
+            # ---- 1) virtual step: theta' = theta - lr_meta*(mu*buf + g) ----
+            g_w = jax.grad(loss_on, argnums=0, has_aux=True)(
+                theta, alphas, omega, img, gt, flag)[0]
+            g_w = maybe_pmean(g_w)
+            velocity = jax.tree.map(
+                lambda buf, g: cfg.momentum * buf + g,
+                opt_state["momentum"], g_w)
+            theta_v = _tree_scale_add(theta, velocity, -cfg.lr_meta)
 
-        # ---- 2) unrolled val loss grads wrt (alphas, theta') ----
-        (val_loss, _), (dalpha, dtheta_v) = jax.value_and_grad(
-            lambda a, tv: loss_on(tv, a, omega, val_img, val_gt, val_flag),
-            argnums=(0, 1), has_aux=True)(alphas, theta_v)
-        dalpha = maybe_pmean(dalpha)
-        dtheta_v = maybe_pmean(dtheta_v)
+            # ---- 2) unrolled val loss grads wrt (alphas, theta') ----
+            (val_loss, _), (dalpha, dtheta_v) = jax.value_and_grad(
+                lambda a, tv: loss_on(tv, a, omega, val_img, val_gt, val_flag),
+                argnums=(0, 1), has_aux=True)(alphas, theta_v)
+            dalpha = maybe_pmean(dalpha)
+            dtheta_v = maybe_pmean(dtheta_v)
 
-        # ---- 3) finite-difference Hessian-vector term ----
-        norm = _global_norm(dtheta_v)
-        eps = jnp.where(norm < 1e-6, 0.0, 0.01 / jnp.clip(norm, 1e-6, None))
-        grad_alpha_at = jax.grad(
-            lambda a, t: loss_on(t, a, omega, img, gt, flag)[0], argnums=0)
-        dalpha_pos = grad_alpha_at(alphas, _tree_scale_add(theta, dtheta_v, eps))
-        dalpha_neg = grad_alpha_at(alphas, _tree_scale_add(theta, dtheta_v, -eps))
-        denom = jnp.where(eps > 0, 2.0 * eps, 1.0)
-        hessian = jax.tree.map(
-            lambda p_, n_: jnp.where(eps > 0, (p_ - n_) / denom, 0.0),
-            dalpha_pos, dalpha_neg)
-        hessian = maybe_pmean(hessian)
+            # ---- 3) finite-difference Hessian-vector term ----
+            norm = _global_norm(dtheta_v)
+            eps = jnp.where(norm < 1e-6, 0.0, 0.01 / jnp.clip(norm, 1e-6, None))
+            grad_alpha_at = jax.grad(
+                lambda a, t: loss_on(t, a, omega, img, gt, flag)[0], argnums=0)
+            dalpha_pos = grad_alpha_at(
+                alphas, _tree_scale_add(theta, dtheta_v, eps))
+            dalpha_neg = grad_alpha_at(
+                alphas, _tree_scale_add(theta, dtheta_v, -eps))
+            denom = jnp.where(eps > 0, 2.0 * eps, 1.0)
+            hessian = jax.tree.map(
+                lambda p_, n_: jnp.where(eps > 0, (p_ - n_) / denom, 0.0),
+                dalpha_pos, dalpha_neg)
+            hessian = maybe_pmean(hessian)
 
-        # final alpha gradient, with the reference's NaN guard
-        # (darts_model.py:260-263): a NaN Hessian zeroes that slot's grad.
-        def alpha_grad(da, h):
-            g = da - cfg.lr_meta * h
-            bad = jnp.any(jnp.isnan(h)) | jnp.any(jnp.isnan(da))
-            return jnp.where(bad, jnp.zeros_like(g), g)
+            # final alpha gradient, with the reference's NaN guard
+            # (darts_model.py:260-263): a NaN Hessian zeroes that slot's grad.
+            def alpha_grad(da, h):
+                g = da - cfg.lr_meta * h
+                bad = jnp.any(jnp.isnan(h)) | jnp.any(jnp.isnan(da))
+                return jnp.where(bad, jnp.zeros_like(g), g)
 
-        g_alpha = jax.tree.map(alpha_grad, dalpha, hessian)
+            g_alpha = jax.tree.map(alpha_grad, dalpha, hessian)
 
         # ---- 4) Adam step on alphas (torch semantics) ----
         from reconfigisp_tpu.utils.optim import adam_update

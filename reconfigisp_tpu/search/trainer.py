@@ -133,7 +133,8 @@ class DartsTrainer:
             lr_meta=train_opt.get("lr_meta", 1e-4),
             lr_alpha=train_opt.get("lr_G", 1e-4),
             beta1=train_opt.get("beta1", 0.9),
-            beta2=train_opt.get("beta2", 0.99))
+            beta2=train_opt.get("beta2", 0.99),
+            order=int(train_opt.get("darts_order", 2)))
         self.step_idx = 0
         self._mesh = mesh
         self._last_aux: dict = {}

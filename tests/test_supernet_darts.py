@@ -186,3 +186,30 @@ class TestProxyBankFusion:
         a = net(v, x, fuse_banks=True)
         b = net(v, x, fuse_banks=False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestFirstOrderDarts:
+    def test_order1_step_learns(self, rng):
+        """order=1 (first-order DARTS, documented extension): the 2-pass step
+        updates alphas on the plain val gradient, theta still steps, and the
+        loss decreases."""
+        net = _small_net()
+        v = net.init(jax.random.PRNGKey(0))
+        opt = init_darts_opt_state(v)
+        cfg = DartsConfig(lr_theta=1e-2, lr_alpha=1e-2, order=1)
+        crit = lambda pred, target, latency=None: losses.l2(pred, target)
+        step = jax.jit(make_darts_step(_forward(net), crit, cfg))
+        mk = lambda c: jnp.asarray(
+            rng.uniform(0.1, 0.9, (2, 16, 16, c)).astype(np.float32))
+        batch = {"img": mk(1), "gt": mk(3), "val_img": mk(1), "val_gt": mk(3)}
+        first = None
+        v0 = v
+        for _ in range(6):
+            v, opt, logs = step(v, opt, batch, 1.0)
+            if first is None:
+                first = float(logs["loss"])
+        assert float(logs["loss"]) < first
+        da = sum(float(jnp.abs(v["alphas"][s] - v0["alphas"][s]).sum())
+                 for s in v0["alphas"])
+        assert da > 0
+        assert float(logs["eps"]) == 0.0  # no Hessian probe in order-1 mode
