@@ -251,10 +251,26 @@ _MEDIAN_STRIP = 64
 
 
 def _median_taps(slab, r, rows, w):
-    """(N, rows+2r, W+2r, C) padded slab -> (N, rows, W, C) median."""
+    """(N, rows+2r, W+2r, C) padded slab -> (N, rows, W, C) median.
+
+    The sort runs entirely under stop_gradient and the output is rebuilt as
+    a tap-stack contraction with a (tie-normalized) equality mask: on TPU,
+    differentiating through sort materializes a u32 permutation gather with
+    a trailing unit index dim whose (8,128) lane padding inflates it 128x —
+    a 225-tap window at 256^2 batch 4 demanded 93 GB of HBM at compile.
+    Forward value is exactly the median (the selected taps all equal it);
+    the backward routes the cotangent to the median tap (split equally
+    among exact ties), the same subgradient jnp.median yields when unique.
+    """
     taps = [slab[:, r + dy:r + dy + rows, r + dx:r + dx + w, :]
             for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
-    return jnp.median(jnp.stack(taps, axis=-1), axis=-1)
+    stack = jnp.stack(taps, axis=-1)
+    k2 = (2 * r + 1) ** 2
+    stack_ng = lax.stop_gradient(stack)
+    med = jnp.sort(stack_ng, axis=-1)[..., k2 // 2]
+    mask = (stack_ng == med[..., None]).astype(stack.dtype)
+    mask = mask / jnp.sum(mask, axis=-1, keepdims=True)
+    return jnp.sum(stack * mask, axis=-1)
 
 
 def _median_fixed(x, r):
