@@ -261,16 +261,28 @@ def _median_taps(slab, r, rows, w):
     Forward value is exactly the median (the selected taps all equal it);
     the backward routes the cotangent to the median tap (split equally
     among exact ties), the same subgradient jnp.median yields when unique.
+
+    The sort forces the tap stack to materialize, so its layout matters:
+    stacking channel-minor (or broadcasting per-tap [..., 1] slices) hands
+    XLA trailing dims of (C, 1) that tile to (4, 128) — a 170x padding
+    expansion whose remat copies OOM'd the 256px search backward.  Folding
+    C into the batch dim keeps the minor dims (rows, W), which tile onto
+    (8, 128) sublanes/lanes with no padding, and a K2-major sort is a
+    fully vectorized compare-exchange over lane-shaped operands.
     """
-    taps = [slab[:, r + dy:r + dy + rows, r + dx:r + dx + w, :]
+    n, _, _, c = slab.shape
+    s = jnp.transpose(slab, (0, 3, 1, 2)).reshape(
+        n * c, rows + 2 * r, w + 2 * r)
+    taps = [s[:, r + dy:r + dy + rows, r + dx:r + dx + w]
             for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
-    stack = jnp.stack(taps, axis=-1)
+    stack = jnp.stack(taps)  # (K2, N*C, rows, W)
     k2 = (2 * r + 1) ** 2
     stack_ng = lax.stop_gradient(stack)
-    med = jnp.sort(stack_ng, axis=-1)[..., k2 // 2]
-    mask = (stack_ng == med[..., None]).astype(stack.dtype)
-    mask = mask / jnp.sum(mask, axis=-1, keepdims=True)
-    return jnp.sum(stack * mask, axis=-1)
+    med = jnp.sort(stack_ng, axis=0)[k2 // 2]
+    mask = (stack_ng == med[None]).astype(stack.dtype)
+    mask = mask / jnp.sum(mask, axis=0, keepdims=True)
+    out = jnp.sum(stack * mask, axis=0)
+    return jnp.transpose(out.reshape(n, c, rows, w), (0, 2, 3, 1))
 
 
 def _median_fixed(x, r):
