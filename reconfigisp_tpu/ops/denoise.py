@@ -262,26 +262,29 @@ def _median_taps(slab, r, rows, w):
     the backward routes the cotangent to the median tap (split equally
     among exact ties), the same subgradient jnp.median yields when unique.
 
-    The sort forces the tap stack to materialize, so its layout matters:
-    stacking channel-minor (or broadcasting per-tap [..., 1] slices) hands
-    XLA trailing dims of (C, 1) that tile to (4, 128) — a 170x padding
-    expansion whose remat copies OOM'd the 256px search backward.  Folding
-    C into the batch dim keeps the minor dims (rows, W), which tile onto
-    (8, 128) sublanes/lanes with no padding, and a K2-major sort is a
-    fully vectorized compare-exchange over lane-shaped operands.
+    The sort forces the tap stack to materialize, so its layout matters.
+    jnp.stack (expand_dims + concat) gives every operand a unit K2 dim;
+    when XLA picks a K2-minor layout for the stacked result, each [..., 1]
+    operand pads 1 -> 128 lanes — 225 taps x 96 MB padded copies = 21 GB
+    for ONE median instance, which OOM'd the 256px search step.  Instead:
+    fold C into the batch dim (minor dims stay (rows, W) = full (8, 128)
+    tiles), concatenate the taps along the EXISTING rows axis — operands
+    keep their natural unpadded layout — and split the K2 axis back out
+    with a row-major reshape.  The sort is then a vectorized
+    compare-exchange over lane-shaped operands on axis 1.
     """
     n, _, _, c = slab.shape
+    k2 = (2 * r + 1) ** 2
     s = jnp.transpose(slab, (0, 3, 1, 2)).reshape(
         n * c, rows + 2 * r, w + 2 * r)
     taps = [s[:, r + dy:r + dy + rows, r + dx:r + dx + w]
             for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
-    stack = jnp.stack(taps)  # (K2, N*C, rows, W)
-    k2 = (2 * r + 1) ** 2
+    stack = jnp.concatenate(taps, axis=1).reshape(n * c, k2, rows, w)
     stack_ng = lax.stop_gradient(stack)
-    med = jnp.sort(stack_ng, axis=0)[k2 // 2]
-    mask = (stack_ng == med[None]).astype(stack.dtype)
-    mask = mask / jnp.sum(mask, axis=0, keepdims=True)
-    out = jnp.sum(stack * mask, axis=0)
+    med = jnp.sort(stack_ng, axis=1)[:, k2 // 2]
+    mask = (stack_ng == med[:, None]).astype(stack.dtype)
+    mask = mask / jnp.sum(mask, axis=1, keepdims=True)
+    out = jnp.sum(stack * mask, axis=1)
     return jnp.transpose(out.reshape(n, c, rows, w), (0, 2, 3, 1))
 
 
