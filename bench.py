@@ -16,7 +16,9 @@ History: 49.6 MP/s (r1, f32, strided Bayer pack, per-frame dispatch) ->
 105 MP/s (r2: bf16 storage, reshape-based pack, fused elementwise CCM,
 multi-frame dispatch amortizing the ~25 ms tunnel RTT) -> 183.6 MP/s (r2,
 BENCH_r02.json: batched-tile inference engine — the jitted feathered tile
-program drives the conv stack ~2x harder than one 12 MP-wide conv).
+program drives the conv stack ~2x harder than one 12 MP-wide conv) ->
+210 MP/s (r3: chunk 32 / 8 frames per dispatch, measured in the round-3
+tile sweep).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": ratio,
@@ -68,11 +70,15 @@ def measure_tpu() -> float:
     # 256px tiles drive the conv stack ~2x harder than one 12 MP-wide conv
     # (same ops and blending as test.py's split mode).
     # All FPD frames enter one dispatch as the tile batch dimension.
-    FPD = 4
+    # Round-3 sweep (patch {128,192,256,384} x chunk {16,32} x FPD {4,8}):
+    # 256px tiles stay best; chunk 16->32 and FPD 4->8 each add ~15%
+    # (bigger map-step batches drive the MXU harder and amortize more of
+    # the tunnel RTT) -> 210 MP/s vs 183.6 at chunk 16/FPD 4.
+    FPD = 8
 
     def tiled(s, xs):
         return jnp.sum(tiled_apply(lambda pp: pipe(s, pp), xs,
-                                   patch=256, stride=240, chunk=16))
+                                   patch=256, stride=240, chunk=32))
 
     fwd = precision.policy_jit(tiled)
     iters = 6
