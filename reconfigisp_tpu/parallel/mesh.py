@@ -38,17 +38,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree):
+def shard_batch(mesh: Mesh, tree, *, stacked: bool = False):
     """Place a batch pytree on the mesh: image tensors (N, H, W, C) shard
     N over data and H over space; other leading-batch arrays (labels,
-    per-sample flags) shard N over data only; scalars replicate."""
+    per-sample flags) shard N over data only; scalars replicate.
+
+    stacked=True handles multi-step batches with a leading (K,) steps axis
+    (search steps_per_dispatch): the steps axis replicates, the sharded
+    axes shift right by one."""
     def put(x):
-        if getattr(x, "ndim", 0) == 4:
+        ndim = getattr(x, "ndim", 0) - (1 if stacked else 0)
+        if ndim == 4:
             spec = P(DATA_AXIS, SPACE_AXIS)
-        elif getattr(x, "ndim", 0) >= 1:
+        elif ndim >= 1:
             spec = P(DATA_AXIS)
         else:
             spec = P()
+        if stacked and ndim >= 1:
+            spec = P(None, *spec)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, tree)

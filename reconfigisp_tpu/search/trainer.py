@@ -22,7 +22,8 @@ import numpy as np
 from reconfigisp_tpu.pipeline import Pipeline
 from reconfigisp_tpu.supernet import SuperNet
 from reconfigisp_tpu.search.darts import (
-    DartsConfig, init_darts_opt_state, make_darts_step)
+    DartsConfig, init_darts_opt_state, make_darts_step,
+    make_darts_multi_step)
 from reconfigisp_tpu.utils import losses, optim, checkpoint
 from reconfigisp_tpu.utils.schedule import make_schedule
 from reconfigisp_tpu.utils.logging_utils import setup_logger, MetricsLogger
@@ -147,8 +148,17 @@ class DartsTrainer:
                 return y, aux["latency"]
 
         raw = make_darts_step(forward, self.criterion, self.cfg)
-        self._step = (make_data_parallel_step(raw, mesh) if mesh is not None
-                      else jax.jit(raw))
+        self._raw = raw
+        # steps_per_dispatch K > 1 scans K optimizer steps into one XLA
+        # dispatch (darts.make_darts_multi_step) — at search-crop sizes the
+        # ~25 ms tunnel RTT + host batch staging rival the step's compute
+        self.k = max(1, int(train_opt.get("steps_per_dispatch", 1)))
+        fn = make_darts_multi_step(raw) if self.k > 1 else raw
+        self._step = (make_data_parallel_step(fn, mesh) if mesh is not None
+                      else jax.jit(fn))
+        self._step1 = self._step if self.k == 1 else None
+        self._buf: list = []
+        self._last_logs = {"loss": float("nan"), "val_loss": float("nan")}
 
     def search_step(self, train_batch: dict, val_batch: dict) -> dict:
         self.step_idx += 1
@@ -159,16 +169,45 @@ class DartsTrainer:
         if "glb_flag" in train_batch:
             batch["glb_flag"] = train_batch["glb_flag"]
             batch["val_glb_flag"] = val_batch["glb_flag"]
+        if self.k == 1:
+            return self._dispatch(self._step, batch, lr_scale)
+        self._buf.append((batch, float(lr_scale)))
+        if len(self._buf) < self.k:
+            # buffered: logs (and self.variables) refresh at the next
+            # dispatch boundary — monitoring may lag by < K steps
+            return dict(self._last_logs)
+        stacked = jax.tree.map(lambda *xs: np.stack(xs),
+                               *[b for b, _ in self._buf])
+        lrs = np.asarray([lr for _, lr in self._buf], np.float32)
+        self._buf = []
+        return self._dispatch(self._step, stacked, lrs, stacked_batch=True)
+
+    def _dispatch(self, step_fn, batch, lr, *, stacked_batch=False) -> dict:
         batch = _to_device_batch(batch)
         if self._mesh is not None:
-            batch = meshlib.shard_batch(self._mesh, batch)
-        self.variables, self.opt_state, logs = self._step(
-            self.variables, self.opt_state, batch, lr_scale)
+            batch = meshlib.shard_batch(self._mesh, batch,
+                                        stacked=stacked_batch)
+        self.variables, self.opt_state, logs = step_fn(
+            self.variables, self.opt_state, batch, lr)
         # non-scalar aux (e.g. the ft trainer's intermediates) rides along in
         # underscore-keyed entries; keep it off the scalar log path
         self._last_aux = {k: logs.pop(k) for k in list(logs)
                           if k.startswith("_")}
-        return {k: float(v) for k, v in logs.items()}
+        self._last_logs = {k: float(v) for k, v in logs.items()}
+        return dict(self._last_logs)
+
+    def flush(self):
+        """Apply any buffered (not yet dispatched) steps through a
+        single-step program so variables reflect every search_step call
+        (hit when niter % steps_per_dispatch != 0 at a save/decode point)."""
+        if not self._buf:
+            return
+        if self._step1 is None:
+            self._step1 = (make_data_parallel_step(self._raw, self._mesh)
+                           if self._mesh is not None else jax.jit(self._raw))
+        buf, self._buf = self._buf, []
+        for b, lr in buf:
+            self._dispatch(self._step1, b, lr)
 
     # ---------------------------------------------------------- housekeeping
 
@@ -181,9 +220,11 @@ class DartsTrainer:
         return np.asarray(self._pruned_fn(self.variables, jnp.asarray(img)))
 
     def architecture(self) -> str:
+        self.flush()
         return self.net.argmax_architecture(self.variables)
 
     def save(self, models_dir: str, state_dir: str, epoch: int):
+        self.flush()
         checkpoint.save_network(models_dir, "G", self.step_idx, self.variables)
         checkpoint.save_training_state(
             state_dir, self.step_idx, epoch=epoch, step=self.step_idx,
@@ -235,6 +276,10 @@ class DartsFtTrainer(DartsTrainer):
                                    if m.shape[-1] == 3])
                 return y, aux["latency"], mids3
             kw["forward"] = forward
+        # online proxy tuning consumes the training pass's own
+        # intermediates per step (record_intermediates), which multi-step
+        # dispatch cannot surface — force single-step dispatch here
+        train_opt = {**train_opt, "steps_per_dispatch": 1}
         super().__init__(supernet, train_opt, **kw)
         self.memory_size = proxy_ft_params.get("memory_size", 1000)
         self.ft_steps = proxy_ft_params.get("ft_steps", 5)

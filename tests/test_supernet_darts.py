@@ -213,3 +213,58 @@ class TestFirstOrderDarts:
                  for s in v0["alphas"])
         assert da > 0
         assert float(logs["eps"]) == 0.0  # no Hessian probe in order-1 mode
+
+
+class TestMultiStepDispatch:
+    """steps_per_dispatch: K scanned steps == K sequential steps exactly."""
+
+    def _batch(self, rng, n=2, s=16):
+        mk = lambda: jnp.asarray(
+            rng.uniform(0.1, 0.9, (n, s, s, 1)).astype(np.float32))
+        gt = lambda: jnp.asarray(
+            rng.uniform(0.1, 0.9, (n, s, s, 3)).astype(np.float32))
+        return {"img": mk(), "gt": gt(), "val_img": mk(), "val_gt": gt()}
+
+    def test_multi_step_equals_sequential(self, darts_setup, rng):
+        from reconfigisp_tpu.search.darts import make_darts_multi_step
+        net, v, opt, step = darts_setup
+        batches = [self._batch(rng) for _ in range(4)]
+        v_seq, o_seq = v, opt
+        for b in batches:
+            v_seq, o_seq, logs_seq = step(v_seq, o_seq, b, 1.0)
+        multi = jax.jit(make_darts_multi_step(step))
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        v_m, o_m, logs_m = multi(v, opt, stacked, jnp.ones((4,), jnp.float32))
+        for a, b in zip(jax.tree.leaves(v_seq), jax.tree.leaves(v_m)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+        for k in ("loss", "val_loss"):
+            np.testing.assert_allclose(float(logs_seq[k]), float(logs_m[k]),
+                                       atol=1e-6)
+
+    def test_trainer_buffering_and_flush(self, rng):
+        """A steps_per_dispatch=4 trainer fed 5 steps (one left buffered)
+        matches a single-step trainer on the same stream after flush; the
+        decoded architecture is identical."""
+        from reconfigisp_tpu.search.trainer import DartsTrainer
+        net = SuperNet(n_step=1, threshold=0.2, srgb_count=2)
+        topt = {"lr_G": 1e-2, "lr_meta": 1e-2, "pixel_criterion": "l2"}
+        tr1 = DartsTrainer(net, topt, key=jax.random.PRNGKey(3))
+        trk = DartsTrainer(net, {**topt, "steps_per_dispatch": 4},
+                           key=jax.random.PRNGKey(3))
+        mk = lambda c: rng.uniform(0.1, 0.9, (2, 16, 16, c)).astype(np.float32)
+        stream = [({"noisy": mk(1), "gt": mk(3)},
+                   {"noisy": mk(1), "gt": mk(3)}) for _ in range(5)]
+        for tb, vb in stream:
+            logs1 = tr1.search_step(tb, vb)
+        for tb, vb in stream:
+            logsk = trk.search_step(tb, vb)
+        assert trk._buf, "5th step should still be buffered"
+        assert trk.step_idx == tr1.step_idx == 5
+        arch_k = trk.architecture()   # flushes the buffered step
+        assert not trk._buf
+        assert arch_k == tr1.architecture()
+        for a, b in zip(jax.tree.leaves(tr1.variables),
+                        jax.tree.leaves(trk.variables)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
