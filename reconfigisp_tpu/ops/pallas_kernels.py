@@ -139,7 +139,7 @@ def bilateral_pallas(x: jnp.ndarray, params: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n, n_strips),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, strip, w * c),
             lambda i, j, *prefetch: (i, j, 0),
@@ -234,7 +234,7 @@ def median_pallas(x: jnp.ndarray, params: jnp.ndarray, weights=None, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n, h // strip),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, strip, w * c), lambda i, j, *p: (i, j, 0),
             memory_space=pltpu.VMEM),
@@ -352,7 +352,7 @@ def fastnlm_pallas(x: jnp.ndarray, params: jnp.ndarray, weights=None, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n, h // strip),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, strip, w * c), lambda i, j, *p: (i, j, 0),
             memory_space=pltpu.VMEM),
