@@ -10,6 +10,12 @@ reference data scale:
               crops) -> configs/SID_isp.yaml (192px fixed training) ->
               configs/SID_test.yaml (512/480 tiled full-frame eval with
               exposure-pair selection).
+  S7 leg    — 3024x4032 10-bit GRBG frames (reference
+              generate_rggb2bgr_imgs_S7ISP_percentage.py:37-62), GRBG->RGGB
+              crop via preprocessing, then:
+              configs/S7ISP_search_ft.yaml (darts_ft search with online
+              proxy tuning) -> configs/S7ISP_isp.yaml (384px fixed
+              training) -> configs/S7ISP_test.yaml (512/480 tiled eval).
   OnePlus leg — 3000x4000 10-bit mosaics + labelme JSONs (reference
               oneplus_rggb2obj layout), full 80-class YOLOv3 with a
               save_darknet_weights-produced binary, then:
@@ -22,7 +28,7 @@ path, and shape regime of the reference workloads runs end to end on TPU.
 Writes experiments/rehearsal/results.json.
 
 Usage:  python tools/rehearse_real_scale.py [--root DIR] [--iters N]
-        [--legs sid,yolo]
+        [--legs sid,s7,yolo]
 """
 
 from __future__ import annotations
@@ -162,6 +168,98 @@ def run_sid_leg(root, iters):
     return out
 
 
+# --------------------------------------------------------------- S7-ISP leg
+
+def build_s7_fixtures(root, n_train=2, n_test=1, seed=2):
+    """Fabricated S7-ISP: 3024x4032 10-bit GRBG mosaics (Samsung S7 sensor
+    scale; reference generate_rggb2bgr_imgs_S7ISP_percentage.py:37-62).
+    The GRBG->RGGB column crop runs through preprocessing.grbg_to_rggb and
+    full-frame folder pairs are written at white level 1023."""
+    from reconfigisp_tpu.data import preprocessing
+    H, W = 3024, 4032
+    WHITE = 1023
+    rng = np.random.default_rng(seed)
+    train_root = os.path.join(root, "s7_train")
+    test_root = os.path.join(root, "s7_test")
+    if os.path.exists(os.path.join(test_root, "noisy")):
+        return train_root, test_root
+    src = os.path.join(root, "s7_src")
+    os.makedirs(src, exist_ok=True)
+    raws, gts = [], []
+    for i in range(n_train + n_test):
+        scene = _smooth_scene(rng, H, W)
+        grbg = np.roll(_mosaic(scene), 1, axis=1)  # fabricate the GRBG phase
+        noisy = grbg + rng.normal(0, 0.01, grbg.shape)
+        u16 = np.clip(noisy * WHITE, 0, WHITE).astype(np.uint16)
+        rggb_u16 = preprocessing.grbg_to_rggb(u16)
+        gt = scene[:, 1:-1]  # same column crop as the raw
+        rp = os.path.join(src, f"s7_{i}.npy")
+        gp = os.path.join(src, f"s7_{i}_gt.npy")
+        np.save(rp, rggb_u16)
+        np.save(gp, gt.astype(np.float32))
+        raws.append(rp)
+        gts.append(gp)
+    preprocessing.process_raw_pairs(
+        raws[:n_train], gts[:n_train], train_root,
+        black=0, white=WHITE, patch=None)
+    preprocessing.process_raw_pairs(
+        raws[n_train:], gts[n_train:], test_root,
+        black=0, white=WHITE, patch=None)
+    log(f"S7 fixtures: {n_train}+{n_test} GRBG->RGGB frames at "
+        f"{H}x{rggb_u16.shape[1]}, white {WHITE}")
+    return train_root, test_root
+
+
+def run_s7_leg(root, iters):
+    from reconfigisp_tpu import config
+    from reconfigisp_tpu.search.trainer import run_training
+
+    train_root, test_root = build_s7_fixtures(root)
+    out = {}
+
+    # --- darts_ft search with online proxy tuning (S7ISP_search_ft.yaml) ---
+    opt = config.parse("configs/S7ISP_search_ft.yaml", is_train=True)
+    opt["datasets"]["train"]["dataroot"] = train_root
+    opt["dist"] = False
+    opt["use_tb_logger"] = False
+    # shrink the tuning interval so finetune_proxies actually fires in a
+    # smoke-sized budget
+    opt["proxy_ft_params"]["ft_interval"] = max(2, iters // 2)
+    opt["proxy_ft_params"]["ft_steps"] = 2
+    t0 = time.time()
+    s = run_training(opt, max_iters=iters)
+    out["search_ft"] = {"architecture": s["architecture"],
+                        "loss": s.get("loss"),
+                        "s_per_iter": round((time.time() - t0) / iters, 3)}
+    log(f"S7 darts_ft search ok: {s['architecture']} "
+        f"({out['search_ft']['s_per_iter']}s/iter)")
+
+    # --- 384px fixed training (S7ISP_isp.yaml) ---
+    opt = config.parse("configs/S7ISP_isp.yaml", is_train=True)
+    opt["datasets"]["train"]["dataroot"] = train_root
+    opt["use_tb_logger"] = False
+    t0 = time.time()
+    s = run_training(opt, max_iters=iters)
+    out["isp"] = {"loss": s.get("loss"),
+                  "s_per_iter": round((time.time() - t0) / iters, 3)}
+    ckpts = sorted(glob.glob("experiments/S7ISP_isp/models/*_G.ckpt"))
+    assert ckpts, "S7ISP_isp saved no checkpoint"
+    log(f"S7 isp ok ({out['isp']['s_per_iter']}s/iter)")
+
+    # --- 512/480 tiled full-frame eval (S7ISP_test.yaml) ---
+    import yaml as _yaml
+    with open("configs/S7ISP_test.yaml") as f:
+        topt = _yaml.safe_load(f)
+    topt["datasets"]["test"]["dataroot"] = test_root
+    topt["path"]["pretrain_model_G"] = ckpts[-1]
+    tpath = os.path.join(root, "S7_test_rehearsal.yaml")
+    with open(tpath, "w") as f:
+        _yaml.safe_dump(topt, f)
+    out["test"] = _run_test_cli(tpath)
+    log(f"S7 tiled test ok: {out['test']}")
+    return out
+
+
 # ------------------------------------------------------------ OnePlus leg
 
 def build_oneplus_fixtures(root, n=2, seed=0):
@@ -285,7 +383,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="experiments/rehearsal/data")
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--legs", default="sid,yolo")
+    ap.add_argument("--legs", default="sid,s7,yolo")
     args = ap.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
@@ -298,6 +396,10 @@ def main():
     legs = args.legs.split(",")
     if "sid" in legs:
         results["sid"] = run_sid_leg(args.root, args.iters)
+        with open(rpath, "w") as f:
+            json.dump(results, f, indent=1)
+    if "s7" in legs:
+        results["s7"] = run_s7_leg(args.root, args.iters)
         with open(rpath, "w") as f:
             json.dump(results, f, indent=1)
     if "yolo" in legs:
