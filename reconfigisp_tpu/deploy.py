@@ -70,15 +70,25 @@ def export_pipeline(pipe: Pipeline, state: dict,
                     platforms: Optional[Sequence[str]] = None) -> bytes:
     """Export `pipe` with `state` baked in as a serving artifact (bytes).
 
-    input_shape: static (N, H, W, C) of the serving request (XLA programs
-    are shape-specialized; export one artifact per served shape).
+    input_shape: (N, H, W, C) of the serving request (XLA programs are
+    shape-specialized; export one artifact per served shape).  For the
+    whole-frame path N may be -1 or "b": the batch dim is exported
+    symbolically and one artifact serves any batch size (the tiled engine
+    needs a concrete batch — its chunk grouping is shape-arithmetic).
     storage: CNN inter-layer storage dtype applied at trace time
     ('bf16' recommended on TPU; None = the active policy).
     platforms: lowering targets, e.g. ["tpu"]; None = current backend.
     """
     fn = make_serving_fn(pipe, state, patch=patch, stride=stride,
                          chunk=chunk)
-    spec = jax.ShapeDtypeStruct(tuple(input_shape), jnp.float32)
+    dims = list(input_shape)
+    poly_batch = dims[0] in (-1, "b", None)
+    if poly_batch:
+        if patch:
+            raise ValueError("symbolic batch is whole-frame only; the tiled "
+                             "engine needs a concrete batch size")
+        dims[0] = jax.export.symbolic_shape("b")[0]
+    spec = jax.ShapeDtypeStruct(tuple(dims), jnp.float32)
     if storage:
         with precision.cnn_storage(storage):
             exported = jax.export.export(
@@ -91,7 +101,8 @@ def export_pipeline(pipe: Pipeline, state: dict,
         "version": _VERSION,
         "architecture": pipe.architecture,
         "use_proxy": pipe.use_proxy,
-        "input_shape": list(input_shape),
+        "input_shape": ["b" if poly_batch else int(dims[0])]
+                       + [int(d) for d in dims[1:]],
         "dtype": "float32",
         "patch": int(patch) if patch else None,
         "stride": int(stride or patch) if patch else None,

@@ -72,6 +72,17 @@ class TestWholeFrame:
         with pytest.raises(ValueError, match="artifact"):
             deploy.load_pipeline(b"NOTANART" + b"\0" * 32)
 
+    def test_symbolic_batch(self, pipe_state, rng):
+        """One whole-frame artifact serves any batch size (N='b')."""
+        pipe, state = pipe_state
+        served = deploy.load_pipeline(
+            deploy.export_pipeline(pipe, state, ("b", 16, 16, 1)))
+        assert served.meta["input_shape"][0] == "b"
+        for n in (1, 3):
+            assert np.asarray(served(_mosaic(rng, n=n))).shape == (n, 16, 16, 3)
+        with pytest.raises(ValueError, match="whole-frame"):
+            deploy.export_pipeline(pipe, state, ("b", 32, 32, 1), patch=16)
+
 
 class TestTiledEngine:
     def test_tiled_export_matches_tiled_apply(self, pipe_state, rng):

@@ -23,7 +23,9 @@ def main():
     ap.add_argument("--opt", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--shape", required=True,
-                    help="NxHxWxC of the serving request, e.g. 1x2848x4256x1")
+                    help="NxHxWxC of the serving request, e.g. 1x2848x4256x1"
+                         " (N may be 'b' for a symbolic batch, whole-frame"
+                         " path only)")
     ap.add_argument("--patch", type=int, default=None)
     ap.add_argument("--stride", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=32)
@@ -54,7 +56,8 @@ def main():
     else:
         print("WARNING: no path.pretrain_model_G — exporting init weights")
 
-    shape = tuple(int(d) for d in args.shape.lower().split("x"))
+    shape = tuple("b" if d == "b" else int(d)
+                  for d in args.shape.lower().split("x"))
     # tiling defaults from the config's test-set split settings
     ds = opt["datasets"].get("test") or {}
     patch = args.patch if args.patch is not None else ds.get("patch_size")
