@@ -61,12 +61,28 @@ def make_serving_fn(pipe: Pipeline, state: dict, *,
     return fn
 
 
+def _mesh_shardings(data: int, space: int):
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    n = data * space
+    if len(jax.devices()) < n:
+        raise ValueError(f"mesh data={data} x space={space} needs {n} "
+                         f"devices, have {len(jax.devices())}")
+    mesh = Mesh(np.array(jax.devices()[:n]).reshape(data, space),
+                ("data", "space"))
+    return mesh, NamedSharding(mesh, PartitionSpec("data", "space",
+                                                   None, None))
+
+
 def export_pipeline(pipe: Pipeline, state: dict,
                     input_shape: Sequence[int], *,
                     patch: Optional[int] = None,
                     stride: Optional[int] = None,
                     chunk: int = 32,
                     storage: Optional[str] = None,
+                    data_parallel: int = 1,
+                    space_parallel: int = 1,
                     platforms: Optional[Sequence[str]] = None) -> bytes:
     """Export `pipe` with `state` baked in as a serving artifact (bytes).
 
@@ -77,10 +93,23 @@ def export_pipeline(pipe: Pipeline, state: dict,
     needs a concrete batch — its chunk grouping is shape-arithmetic).
     storage: CNN inter-layer storage dtype applied at trace time
     ('bf16' recommended on TPU; None = the active policy).
+    data_parallel/space_parallel: bake a (data x space) mesh into the
+    program — batch sharded over 'data', image height over 'space' (the
+    SPMD partitioner inserts the conv halo exchanges over ICI, the same
+    layout parallel/mesh.py trains with).  The artifact then requires
+    data*space local devices at load time; whole-frame path only.
     platforms: lowering targets, e.g. ["tpu"]; None = current backend.
     """
     fn = make_serving_fn(pipe, state, patch=patch, stride=stride,
                          chunk=chunk)
+    mesh_dims = (int(data_parallel), int(space_parallel))
+    jit_kw = {}
+    if mesh_dims != (1, 1):
+        if patch:
+            raise ValueError("mesh-sharded export is whole-frame only; the "
+                             "tiled engine is the single-chip memory story")
+        _, sharding = _mesh_shardings(*mesh_dims)
+        jit_kw = {"in_shardings": sharding, "out_shardings": sharding}
     dims = list(input_shape)
     poly_batch = dims[0] in (-1, "b", None)
     if poly_batch:
@@ -92,10 +121,11 @@ def export_pipeline(pipe: Pipeline, state: dict,
     if storage:
         with precision.cnn_storage(storage):
             exported = jax.export.export(
-                jax.jit(fn), platforms=platforms)(spec)
+                jax.jit(fn, **jit_kw), platforms=platforms)(spec)
         storage_name = jnp.dtype(precision._DTYPES[storage]).name
     else:
-        exported = jax.export.export(jax.jit(fn), platforms=platforms)(spec)
+        exported = jax.export.export(
+            jax.jit(fn, **jit_kw), platforms=platforms)(spec)
         storage_name = jnp.dtype(precision.cnn_storage_dtype()).name
     header = {
         "version": _VERSION,
@@ -108,6 +138,8 @@ def export_pipeline(pipe: Pipeline, state: dict,
         "stride": int(stride or patch) if patch else None,
         "chunk": int(chunk) if patch else None,
         "cnn_storage": storage_name,
+        "mesh": ({"data": mesh_dims[0], "space": mesh_dims[1]}
+                 if mesh_dims != (1, 1) else None),
         "platforms": list(exported.platforms),
     }
     hjson = json.dumps(header).encode("utf-8")
@@ -130,6 +162,10 @@ class ServingPipeline:
     def __init__(self, meta: dict, exported):
         self.meta = meta
         self._exported = exported
+        self._sharding = None
+        mesh = meta.get("mesh")
+        if mesh:
+            _, self._sharding = _mesh_shardings(mesh["data"], mesh["space"])
 
     @property
     def architecture(self) -> str:
@@ -140,7 +176,10 @@ class ServingPipeline:
         return tuple(self.meta["input_shape"])
 
     def __call__(self, x) -> jnp.ndarray:
-        return self._exported.call(jnp.asarray(x, jnp.float32))
+        x = jnp.asarray(x, jnp.float32)
+        if self._sharding is not None:
+            x = jax.device_put(x, self._sharding)
+        return self._exported.call(x)
 
 
 def load_pipeline(src: Union[str, bytes]) -> ServingPipeline:

@@ -105,6 +105,29 @@ class TestTiledEngine:
             served(_mosaic(rng, s=32))
 
 
+class TestShardedServing:
+    def test_mesh_export_matches_replicated(self, pipe_state, rng):
+        """A (4 data x 2 space) artifact on the virtual 8-device mesh:
+        batch sharded over data, height over space (SPMD conv halos),
+        output identical to the single-device program."""
+        pipe, state = pipe_state
+        x = _mosaic(rng, n=8, s=32)
+        blob = deploy.export_pipeline(pipe, state, (8, 32, 32, 1),
+                                      data_parallel=4, space_parallel=2)
+        served = deploy.load_pipeline(blob)
+        assert served.meta["mesh"] == {"data": 4, "space": 2}
+        got = np.asarray(served(x))
+        want = np.asarray(pipe(state, x))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_mesh_plus_tiling_rejected(self, pipe_state):
+        pipe, state = pipe_state
+        with pytest.raises(ValueError, match="whole-frame"):
+            deploy.export_pipeline(pipe, state, (8, 64, 64, 1),
+                                   patch=32, data_parallel=4,
+                                   space_parallel=2)
+
+
 class TestCli:
     def test_export_cli(self, tmp_path, monkeypatch):
         import importlib.util

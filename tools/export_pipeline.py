@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--stride", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--storage", default=None, choices=[None, "f32", "bf16"])
+    ap.add_argument("--data-parallel", type=int, default=1,
+                    help="mesh 'data' axis (batch sharding) baked into the "
+                         "program; whole-frame only")
+    ap.add_argument("--space-parallel", type=int, default=1,
+                    help="mesh 'space' axis (height sharding, SPMD conv "
+                         "halos); whole-frame only")
     ap.add_argument("--platforms", default=None,
                     help="comma list, e.g. tpu or tpu,cpu")
     ap.add_argument("--platform", default=None,
@@ -67,7 +73,8 @@ def main():
 
     blob = deploy.export_pipeline(
         pipe, state, shape, patch=patch, stride=stride, chunk=args.chunk,
-        storage=args.storage, platforms=platforms)
+        storage=args.storage, data_parallel=args.data_parallel,
+        space_parallel=args.space_parallel, platforms=platforms)
     deploy.save_artifact(args.out, blob)
     print(f"wrote {args.out}: {len(blob) / 1e6:.2f} MB, "
           f"arch {pipe.architecture}, shape {shape}, "
