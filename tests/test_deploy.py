@@ -72,6 +72,18 @@ class TestWholeFrame:
         with pytest.raises(ValueError, match="artifact"):
             deploy.load_pipeline(b"NOTANART" + b"\0" * 32)
 
+    def test_multi_platform_export(self, pipe_state, rng):
+        """A CPU host can author a TPU-serving artifact: lowering for
+        ["tpu", "cpu"] embeds both targets and the loader picks the local
+        one (how production artifacts are built off-accelerator)."""
+        pipe, state = pipe_state
+        blob = deploy.export_pipeline(pipe, state, (1, 16, 16, 1),
+                                      platforms=["tpu", "cpu"])
+        served = deploy.load_pipeline(blob)
+        assert served.meta["platforms"] == ["tpu", "cpu"]
+        y = served(_mosaic(rng))
+        assert np.isfinite(np.asarray(y)).all()
+
     def test_symbolic_batch(self, pipe_state, rng):
         """One whole-frame artifact serves any batch size (N='b')."""
         pipe, state = pipe_state
