@@ -185,7 +185,19 @@ def measure_torch_baseline() -> float:
 
 
 def main():
-    tpu_mps, mfu = measure_tpu()
+    # The axon tunnel can be transiently DOWN (backend init retries then
+    # raises UNAVAILABLE).  Retry a few times so a short outage at
+    # round-end doesn't zero the recorded bench.
+    attempts = int(os.environ.get("BENCH_TUNNEL_ATTEMPTS", "3"))
+    for i in range(attempts):
+        try:
+            tpu_mps, mfu = measure_tpu()
+            break
+        except Exception as e:  # backend init / UNAVAILABLE
+            log(f"TPU measurement attempt {i + 1}/{attempts} failed: {e}")
+            if i + 1 == attempts:
+                raise
+            time.sleep(150)
     try:
         base_mps = measure_torch_baseline()
         vs = tpu_mps / base_mps
