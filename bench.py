@@ -48,6 +48,8 @@ def log(*a):
 # --------------------------------------------------------------- TPU measure
 
 def measure_tpu() -> float:
+    from reconfigisp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     from reconfigisp_tpu.pipeline import Pipeline

@@ -28,6 +28,9 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    from reconfigisp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
     from reconfigisp_tpu import config

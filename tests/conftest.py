@@ -19,6 +19,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Opt-in persistent compile cache for repeat suite runs (the supernet/DARTS
+# step compiles for minutes on CPU): RECONFIGISP_CACHE_CPU=1.  Off by
+# default — this XLA build's CPU AOT loader warns of machine-feature
+# mismatches when reloading cached executables (see utils/cache.py).
+from reconfigisp_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -45,6 +45,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from reconfigisp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from reconfigisp_tpu import config, deploy
     from reconfigisp_tpu.pipeline import Pipeline

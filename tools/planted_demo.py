@@ -142,6 +142,9 @@ def main():
                     help="reuse architectures from an existing results.json")
     args = ap.parse_args()
 
+    from reconfigisp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     os.makedirs(OUT_DIR, exist_ok=True)
     results = {}
     rpath = os.path.join(OUT_DIR, "results.json")

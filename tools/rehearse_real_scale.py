@@ -386,6 +386,9 @@ def main():
     ap.add_argument("--legs", default="sid,s7,yolo")
     args = ap.parse_args()
 
+    from reconfigisp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     os.makedirs(args.root, exist_ok=True)
     results = {}
     rpath = "experiments/rehearsal/results.json"

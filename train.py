@@ -35,6 +35,9 @@ def main():
         import jax
         jax.distributed.initialize()  # coordinator/rank from TPU metadata
 
+    from reconfigisp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from reconfigisp_tpu import config
     from reconfigisp_tpu.search.trainer import run_training
 
