@@ -293,7 +293,7 @@ def _median_fixed(x, r):
     n, h, w, c = x.shape
     padded = _pad_reflect(x, r)
     strip = _MEDIAN_STRIP
-    if h <= strip or h % strip:
+    if h <= strip:
         return _median_taps(padded, r, h, w)
 
     def chunk(s):
@@ -301,8 +301,14 @@ def _median_fixed(x, r):
             padded, (0, s, 0, 0), (n, strip + 2 * r, w + 2 * r, c))
         return _median_taps(slab, r, strip, w)
 
-    out = lax.map(chunk, jnp.arange(h // strip) * strip)  # (S,N,strip,W,C)
-    return jnp.moveaxis(out, 0, 1).reshape(n, h, w, c)
+    n_full = h // strip
+    out = lax.map(chunk, jnp.arange(n_full) * strip)  # (S,N,strip,W,C)
+    parts = [jnp.moveaxis(out, 0, 1).reshape(n, n_full * strip, w, c)]
+    rem = h - n_full * strip
+    if rem:  # trailing rows (heights not divisible by the strip, e.g. 1424)
+        slab = padded[:, n_full * strip:n_full * strip + rem + 2 * r]
+        parts.append(_median_taps(slab, r, rem, w))
+    return jnp.concatenate(parts, axis=1) if rem else parts[0]
 
 
 def median(x, params, weights=None):

@@ -86,6 +86,23 @@ class TestDenoise:
         assert small[0, 8, 8, 0] == 1.0
         assert big[0, 8, 8, 0] == 0.0
 
+    def test_median_strips_match_full_frame(self, rng, monkeypatch):
+        """The row-strip path (incl. a trailing remainder strip for heights
+        not divisible by the strip, e.g. SID's 1424) must equal the
+        single-slab form exactly, in value and gradient."""
+        monkeypatch.setattr(denoise, "_MEDIAN_STRIP", 8)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 20, 16, 1)).astype(np.float32))
+
+        def full(v):  # reference: one slab over the whole frame
+            return denoise._median_taps(denoise._pad_reflect(v, 2), 2, 20, 16)
+
+        got = denoise._median_fixed(x, 2)  # 2 full strips + 4-row remainder
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(full(x)))
+        g_strip = jax.grad(lambda v: jnp.sum(denoise._median_fixed(v, 2) ** 2))(x)
+        g_full = jax.grad(lambda v: jnp.sum(full(v) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g_strip), np.asarray(g_full),
+                                   atol=1e-6)
+
     def test_bilateral_smooths_noise_preserves_edge(self, rng):
         x = np.zeros((1, 16, 16, 1), np.float32)
         x[0, :, 8:, 0] = 1.0
