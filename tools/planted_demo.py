@@ -11,6 +11,8 @@ solution.  This driver runs:
   0. module pretraining (search/proxy_pretrain) -> proxies.ckpt
   1. native-op DARTS search        (configs/planted_search.yaml)
   2. proxy-parity DARTS search     (configs/planted_search_proxy.yaml)
+  2b. online proxy-tuning search   (configs/planted_search_ft.yaml,
+      model darts_ft — the reference's train_ft mechanism)
   3. step-2 fixed training of the searched architecture + every single-op
      ablation (swap denoise->skip, demosaic->nearest, drop wb, drop gamma)
   4. held-out PSNR evaluation of all trained pipelines
@@ -179,7 +181,8 @@ def main():
 
     if not args.skip_search:
         for leg, cfg in (("native", "configs/planted_search.yaml"),
-                         ("proxy", "configs/planted_search_proxy.yaml")):
+                         ("proxy", "configs/planted_search_proxy.yaml"),
+                         ("ft", "configs/planted_search_ft.yaml")):
             log(f"{leg} search ({search_iters} iters)...")
             opt = config.parse(cfg, is_train=True)
             t0 = time.time()
