@@ -205,7 +205,9 @@ def main():
     candidates = {"searched": arch, **ablations_of(arch)}
     psnrs = dict(results.get("step2_psnr", {}))
     for name, a in candidates.items():
-        if name in psnrs:
+        # reuse a cached result only if it trained the same architecture
+        # (a re-run search may decode differently)
+        if psnrs.get(name, {}).get("architecture") == a:
             continue
         log(f"step-2 training {name}: {a} ({isp_iters} iters)")
         state, logs = train_fixed(a, isp_iters)
