@@ -99,3 +99,37 @@ class TestDataParallel:
         y = dp_apply(meshlib.replicate(m, v), meshlib.shard_batch(m, x))
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_single),
                                    atol=2e-5)
+
+    def test_dp_multi_step_matches_sequential_single_device(self, key, rng):
+        """steps_per_dispatch under the mesh: a K-scanned data-parallel
+        dispatch (batch sharded over 'data', steps axis replicated via
+        shard_batch(stacked=True)) must equal K sequential single-device
+        steps — the combination run_training uses with dist: true."""
+        from reconfigisp_tpu.search.darts import make_darts_multi_step
+        net = _net()
+        v = net.init(key)
+        opt = init_darts_opt_state(v)
+        cfg = DartsConfig(lr_theta=1e-2, lr_alpha=1e-2, lr_meta=1e-2)
+        crit = lambda p, t, latency=None: losses.l2(p, t)
+        step = make_darts_step(_forward(net), crit, cfg)
+        batches = [_batch(rng, 8) for _ in range(3)]
+
+        v_seq, o_seq = v, opt
+        for b in batches:
+            v_seq, o_seq, logs_seq = jax.jit(step)(v_seq, o_seq, b, 1.0)
+
+        m = meshlib.make_mesh(8)
+        dp_multi = make_data_parallel_step(make_darts_multi_step(step), m)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        v_m, o_m, logs_m = dp_multi(
+            meshlib.replicate(m, v), meshlib.replicate(m, opt),
+            meshlib.shard_batch(m, stacked, stacked=True),
+            jnp.ones((3,), jnp.float32))
+
+        np.testing.assert_allclose(float(logs_m["loss"]),
+                                   float(logs_seq["loss"]), rtol=1e-4)
+        for part in ("alphas", "theta"):
+            for a, b in zip(jax.tree.leaves(v_seq[part]),
+                            jax.tree.leaves(v_m[part])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5)
