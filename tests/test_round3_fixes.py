@@ -242,3 +242,69 @@ class TestOnePlusBestCrop:
         # but the kept crop is the partial-visibility one (contains bright
         # box pixels), not the final dark miss
         assert float(s["noisy"].max()) > 0.5
+
+
+# ------------------------------------------------- persistent compile cache
+
+class TestPersistentCache:
+    def test_gated_off_on_cpu_backend(self, tmp_path, monkeypatch):
+        from reconfigisp_tpu.utils import cache
+        monkeypatch.delenv("RECONFIGISP_CACHE_CPU", raising=False)
+        monkeypatch.delenv("RECONFIGISP_CACHE_DIR", raising=False)
+        # conftest pins jax_platforms to "cpu" -> gate returns None
+        assert cache.enable_persistent_cache(str(tmp_path / "c")) is None
+
+    def test_cpu_opt_in_and_env_disable(self, tmp_path, monkeypatch):
+        from reconfigisp_tpu.utils import cache
+        monkeypatch.setenv("RECONFIGISP_CACHE_CPU", "1")
+        d = str(tmp_path / "c")
+        assert cache.enable_persistent_cache(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        monkeypatch.setenv("RECONFIGISP_CACHE_DIR", "off")
+        assert cache.enable_persistent_cache(d) is None
+
+
+# ------------------------------------------------------- bench tunnel retry
+
+class TestBenchRetry:
+    def _load_bench(self):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "bench_under_test",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_retries_through_transient_outage(self, monkeypatch, capsys):
+        import json as _json
+        bench = self._load_bench()
+        calls = {"n": 0}
+
+        def fake_measure():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("UNAVAILABLE (simulated)")
+            return 123.0, 0.25
+
+        monkeypatch.setenv("BENCH_TUNNEL_ATTEMPTS", "3")
+        monkeypatch.setattr(bench, "measure_tpu", fake_measure)
+        monkeypatch.setattr(bench, "measure_torch_baseline", lambda: 1.0)
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        bench.main()
+        out = _json.loads(capsys.readouterr().out)
+        assert calls["n"] == 3
+        assert out["value"] == 123.0 and out["mfu"] == 0.25
+
+    def test_raises_after_exhausted_attempts(self, monkeypatch):
+        bench = self._load_bench()
+
+        def always_down():
+            raise RuntimeError("UNAVAILABLE (simulated)")
+
+        monkeypatch.setenv("BENCH_TUNNEL_ATTEMPTS", "2")
+        monkeypatch.setattr(bench, "measure_tpu", always_down)
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        with pytest.raises(RuntimeError):
+            bench.main()
