@@ -447,14 +447,19 @@ def _wht_matrix(b: int):
     return h / jnp.sqrt(float(b))
 
 
-# opponent color transform used by BM3D for RGB inputs, and its inverse
-_OPP = jnp.asarray([[1 / 3, 1 / 3, 1 / 3],
+# opponent color transform used by BM3D for RGB inputs, and its inverse.
+# Kept as numpy on purpose: module-level jnp arrays would initialize the
+# device backend at import time — with the remote TPU tunnel down, merely
+# importing the package would block in the connect-retry loop.
+import numpy as _np  # noqa: E402  (module-constant use only)
+
+_OPP = _np.asarray([[1 / 3, 1 / 3, 1 / 3],
                     [0.5, 0.0, -0.5],
-                    [0.25, -0.5, 0.25]], jnp.float32)
-_OPP_INV = jnp.asarray([[1.0, 1.0, 2 / 3],
+                    [0.25, -0.5, 0.25]], _np.float32)
+_OPP_INV = _np.asarray([[1.0, 1.0, 2 / 3],
                         [1.0, 0.0, -4 / 3],
-                        [1.0, -1.0, 2 / 3]], jnp.float32)
-_EYE3 = jnp.eye(3, dtype=jnp.float32)
+                        [1.0, -1.0, 2 / 3]], _np.float32)
+_EYE3 = _np.eye(3, dtype=_np.float32)
 
 
 def _dct_denoise_fixed(x, thr, tmat, sparse_w, b: int):

@@ -13,7 +13,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_LUM_BGR = jnp.array([0.114, 0.587, 0.299], jnp.float32)
+# numpy on purpose: a module-level jnp array initializes the device backend
+# at import time (blocks on the tunnel retry loop when the TPU is down)
+import numpy as _np  # noqa: E402
+
+_LUM_BGR = _np.array([0.114, 0.587, 0.299], _np.float32)
 
 
 def _luminance(x):

@@ -308,3 +308,29 @@ class TestBenchRetry:
         monkeypatch.setattr(bench.time, "sleep", lambda s: None)
         with pytest.raises(RuntimeError):
             bench.main()
+
+
+# ------------------------------------------- import-time backend isolation
+
+def test_package_import_initializes_no_backend():
+    """Module-level jnp array constants would initialize the device backend
+    at import — with the remote TPU tunnel down, merely importing the
+    package then blocks in the connect-retry loop for ~30 min.  Pin that
+    the full package surface imports with zero backends initialized."""
+    import subprocess
+    import sys
+    code = (
+        "import reconfigisp_tpu\n"
+        "from reconfigisp_tpu.ops import denoise, tone, color, demosaic\n"
+        "from reconfigisp_tpu import pipeline, supernet, deploy\n"
+        "from reconfigisp_tpu.search import darts, trainer\n"
+        "from reconfigisp_tpu.data import datasets, preprocessing, dng\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, f'backends initialized: {list(xb._backends)}'\n"
+        "print('no-backend-init ok')\n")
+    env = {**os.environ}
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "no-backend-init ok" in out.stdout
