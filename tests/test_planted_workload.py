@@ -105,3 +105,31 @@ class TestPlantedWorkload:
         assert abl["drop_srgb_step2"] == "Bayer_01_Demosaic_03_sRGB_10_01_10"
         # the sRGB skip step itself is not ablated
         assert "drop_srgb_step4" not in abl
+
+
+# ----------------------------------------------- demo ablation construction
+
+def test_planted_demo_ablations():
+    import importlib.util
+    import os as _os
+    spec = importlib.util.spec_from_file_location(
+        "planted_demo_under_test",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "tools", "planted_demo.py"))
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    abl = demo.ablations_of("Bayer_01_Demosaic_03_sRGB_13_13_13")
+    assert abl["no_denoise"] == "Bayer_02_Demosaic_03_sRGB_13_13_13"
+    assert abl["nearest_demosaic"] == "Bayer_01_Demosaic_01_sRGB_13_13_13"
+    # one sRGB step dropped (-> skip 10) per ablation, indices 2..4
+    drops = {k: v for k, v in abl.items() if k.startswith("drop_srgb")}
+    assert sorted(drops.values()) == [
+        "Bayer_01_Demosaic_03_sRGB_10_13_13",
+        "Bayer_01_Demosaic_03_sRGB_13_10_13",
+        "Bayer_01_Demosaic_03_sRGB_13_13_10",
+    ]
+    # every ablation string round-trips through the pipeline parser
+    from reconfigisp_tpu.pipeline import parse_architecture
+    for a in abl.values():
+        assert parse_architecture(a)
