@@ -105,6 +105,10 @@ class Loader:
                 yield q.get()
         finally:
             stop.set()
+            try:  # unblock a producer waiting on a full queue
+                q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def create_loader(dataset, batch_size: int, *, shuffle_seed: int = 0,
