@@ -20,8 +20,11 @@ program drives the conv stack ~2x harder than one 12 MP-wide conv) ->
 210 MP/s (r3: chunk 32 / 8 frames per dispatch, round-3 tile sweep) ->
 218 MP/s (r3: pipelined dispatches — enqueue every dispatch before
 blocking, hiding the remaining per-dispatch tunnel RTT behind device
-compute; at this point the tile-compute itself is 55 of the 57 ms/frame,
-i.e. the conv stack's measured XLA ceiling).
+compute) -> 313 MP/s (r3: the 183.6-218 figures had silently measured an
+f32-storage program — policy_jit dispatches on the policy active at each
+call, and the timed loop sat OUTSIDE the cnn_storage('bf16') context;
+holding the policy for the whole measurement recovers the bf16 program:
+40.1 ms / 12 MP frame).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": ratio,
@@ -90,45 +93,49 @@ def measure_tpu() -> float:
     stacks = [jax.random.uniform(jax.random.PRNGKey(i), (FPD, H, W, 1),
                                  jnp.float32, 0.02, 0.98)
               for i in range(iters + 2)]
-    # the storage-dtype policy applies at TRACE time — it must wrap the
-    # first call, not the jit definition (precision.py)
+    # the storage-dtype policy applies at TRACE time, and policy_jit
+    # dispatches on the policy active AT EACH CALL — so the bf16 context
+    # must cover the drain and the timed loop too, or they silently compile
+    # and measure a separate f32 program (precision.py; this exact bug once
+    # shaved the recorded headline)
     with precision.cnn_storage("bf16"):  # bf16 inter-layer storage on TPU
         t0 = time.perf_counter()
         float(fwd(state, stacks[0]))
         log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
-    float(fwd(state, stacks[1]))  # drain
-    # Throughput protocol: PIPELINED dispatches — enqueue every dispatch
-    # (distinct frames each) before fetching any result, so the ~25 ms
-    # tunnel RTT overlaps device compute instead of serializing with it
-    # (+5% over dispatch-then-fetch).  The device->host float() fetches at
-    # the end are the true-completion dependency; total wall time over all
-    # frames is the throughput.  Two passes, best-of-2, to shrug off a
-    # transient tunnel stall.
-    dts = []
-    for half in range(2):
-        batch = stacks[2 + half * (iters // 2):2 + (half + 1) * (iters // 2)]
-        t0 = time.perf_counter()
-        outs = [fwd(state, s) for s in batch]
-        for o in outs:
-            float(o)
-        dts.append((time.perf_counter() - t0) / (len(batch) * FPD))
-    dt = min(dts)
-    mps = MP / dt
+        float(fwd(state, stacks[1]))  # drain
+        # Throughput protocol: PIPELINED dispatches — enqueue every dispatch
+        # (distinct frames each) before fetching any result, so the ~25 ms
+        # tunnel RTT overlaps device compute instead of serializing with it
+        # (+5% over dispatch-then-fetch).  The device->host float() fetches
+        # at the end are the true-completion dependency; total wall time
+        # over all frames is the throughput.  Two passes, best-of-2, to
+        # shrug off a transient tunnel stall.
+        dts = []
+        for half in range(2):
+            batch = stacks[2 + half * (iters // 2):
+                           2 + (half + 1) * (iters // 2)]
+            t0 = time.perf_counter()
+            outs = [fwd(state, s) for s in batch]
+            for o in outs:
+                float(o)
+            dts.append((time.perf_counter() - t0) / (len(batch) * FPD))
+        dt = min(dts)
+        mps = MP / dt
 
-    # MFU: XLA's own flop count of the dispatched program / wall time / peak
-    mfu = float("nan")
-    try:
-        with precision.cnn_storage("bf16"):
+        # MFU: XLA's flop count of the dispatched program / wall time / peak
+        mfu = float("nan")
+        try:
             cost = jax.jit(tiled).lower(state, stacks[0]).compile() \
                 .cost_analysis()
-        if isinstance(cost, list):  # older jax returns [dict]
-            cost = cost[0]
-        flops_per_dispatch = float(cost.get("flops", float("nan")))
-        mfu = flops_per_dispatch / FPD / dt / PEAK_FLOPS
-        log(f"cost_analysis: {flops_per_dispatch / 1e12:.2f} TFLOP/dispatch "
-            f"-> {flops_per_dispatch / FPD / dt / 1e12:.1f} TFLOP/s")
-    except Exception as e:  # pragma: no cover - backend-dependent
-        log(f"cost_analysis unavailable: {e}")
+            if isinstance(cost, list):  # older jax returns [dict]
+                cost = cost[0]
+            flops_per_dispatch = float(cost.get("flops", float("nan")))
+            mfu = flops_per_dispatch / FPD / dt / PEAK_FLOPS
+            log(f"cost_analysis: {flops_per_dispatch / 1e12:.2f} "
+                f"TFLOP/dispatch "
+                f"-> {flops_per_dispatch / FPD / dt / 1e12:.1f} TFLOP/s")
+        except Exception as e:  # pragma: no cover - backend-dependent
+            log(f"cost_analysis unavailable: {e}")
     log(f"tpu: best-of-2 pipelined {iters // 2}x{FPD}-frame dispatch groups "
         f"-> {mps:.1f} MP/s ({dt * 1e3:.1f} ms / 12MP frame, mfu {mfu:.3f})")
     return mps, mfu
