@@ -19,18 +19,41 @@ Conventions (match the reference):
 
 from __future__ import annotations
 
-import itertools
+import collections
 import os
+import threading
 from typing import Optional
 
 import numpy as np
 
 
 def _crop_rng(seed: int, idx: int, access: int, is_train: bool):
-    """Crop rng mixing a per-dataset access counter so a given image draws a
+    """Crop rng mixing a per-image access counter so a given image draws a
     *fresh* crop every epoch (the reference draws per access,
     sid...dataset.py:121-124); eval keeps crops deterministic per index."""
     return np.random.default_rng((seed, idx, access if is_train else 0))
+
+
+class _AccessCounter:
+    """Per-image access counts for crop rng.
+
+    A single global counter would make crops depend on loader-thread
+    interleaving: create_search_loaders hands the SAME dataset instance to
+    the train- and val-half prefetch threads, so the order in which the two
+    threads hit `next()` is nondeterministic.  Counting per image index
+    instead makes the k-th crop of image `idx` identical across runs with
+    the same seed, regardless of interleaving (the two halves touch
+    disjoint index sets)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counts: dict = collections.defaultdict(int)
+
+    def next_for(self, idx: int) -> int:
+        with self._lock:
+            n = self._counts[idx]
+            self._counts[idx] = n + 1
+            return n
 
 
 class SyntheticRawDataset:
@@ -122,7 +145,7 @@ class RawPairFolderDataset:
         self.white_level = white_level
         self.is_train = is_train
         self.seed = seed
-        self._access = itertools.count()
+        self._access = _AccessCounter()
         noisy_dir = os.path.join(root, "noisy")
         self.names = sorted(
             os.path.splitext(f)[0] for f in os.listdir(noisy_dir))
@@ -154,7 +177,8 @@ class RawPairFolderDataset:
             noisy = noisy[..., None]
         if self.data_size:
             s = self.data_size
-            rng = _crop_rng(self.seed, idx, next(self._access), self.is_train)
+            rng = _crop_rng(self.seed, idx,
+                            self._access.next_for(idx), self.is_train)
             h, w = noisy.shape[:2]
             y0 = int(rng.integers(0, max(h - s, 1) // 2 + 1)) * 2
             x0 = int(rng.integers(0, max(w - s, 1) // 2 + 1)) * 2
@@ -309,7 +333,7 @@ class PairRecordDataset:
         self.white_level = white_level
         self.is_train = is_train
         self.seed = seed
-        self._access = itertools.count()
+        self._access = _AccessCounter()
 
     def __len__(self):
         return len(self.keys_noisy)
@@ -332,7 +356,8 @@ class PairRecordDataset:
             noisy = noisy[..., None]
         if self.data_size and self.is_train:
             s = self.data_size
-            rng = _crop_rng(self.seed, idx, next(self._access), True)
+            rng = _crop_rng(self.seed, idx,
+                            self._access.next_for(idx), True)
             h, w = noisy.shape[:2]
             y0 = int(rng.integers(0, max(h - s, 1) // 2 + 1)) * 2
             x0 = int(rng.integers(0, max(w - s, 1) // 2 + 1)) * 2
@@ -381,7 +406,7 @@ class OnePlusDetectionDataset:
         self.seed = seed
         self.is_train = is_train
         self.classes = classes or ONEPLUS_CLASSES
-        self._access = itertools.count()
+        self._access = _AccessCounter()
 
     def __len__(self):
         return len(self.img_files)
@@ -422,7 +447,8 @@ class OnePlusDetectionDataset:
         mosaic, rh, rw, top = self._load_resized(idx)
         raw_boxes = self._boxes(idx)
         s = self.data_size
-        rng = _crop_rng(self.seed, idx, next(self._access), self.is_train)
+        rng = _crop_rng(self.seed, idx,
+                        self._access.next_for(idx), self.is_train)
         d = self.desired
 
         # keep the BEST crop across retries — most surviving boxes, ties (in

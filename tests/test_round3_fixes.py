@@ -43,6 +43,27 @@ class TestCropRng:
         ds = RawPairFolderDataset(root, data_size=8, is_train=False)
         np.testing.assert_array_equal(ds[0]["noisy"], ds[0]["noisy"])
 
+    def test_train_crops_independent_of_interleaving(self, tmp_path):
+        """The k-th crop of image idx must not depend on accesses to OTHER
+        indices: the train- and val-half prefetch threads share one dataset
+        instance, so a global access counter would make crops depend on
+        nondeterministic thread interleaving (and break run-to-run
+        reproducibility under manual_seed)."""
+        root = _folder_pair(tmp_path)
+        os.link(os.path.join(root, "noisy", "a.npy"),
+                os.path.join(root, "noisy", "b.npy"))
+        os.link(os.path.join(root, "gt", "a.npy"),
+                os.path.join(root, "gt", "b.npy"))
+        ds1 = RawPairFolderDataset(root, data_size=8, is_train=True)
+        seq_a = [ds1[0]["noisy"] for _ in range(4)]
+        ds2 = RawPairFolderDataset(root, data_size=8, is_train=True)
+        seq_b = []
+        for _ in range(4):
+            ds2[1]  # interleaved accesses to another index
+            seq_b.append(ds2[0]["noisy"])
+        for a, b in zip(seq_a, seq_b):
+            np.testing.assert_array_equal(a, b)
+
 
 class TestUint16Gt:
     def test_uint16_gt_scales_to_unit_range(self, tmp_path):
