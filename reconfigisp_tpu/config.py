@@ -87,3 +87,16 @@ def dict2str(opt: dict, indent: int = 1) -> str:
         else:
             msg += " " * (indent * 2) + f"{k}: {v}\n"
     return msg
+
+
+def network_uses_proxy(net_opt: dict) -> bool:
+    """Proxy-vs-native op selection for a network_G options block.
+
+    Reference ymls spell it as the network name — which_model_G:
+    IspUniversal = proxy (SRCNN-imitator) ops, OriginUniversal = native ops
+    (reference codes/models/networks.py:31-45); an explicit `use_proxy`
+    key (this framework's spelling) wins.  Shared by train/test/export so
+    a reference-format config builds the same Pipeline everywhere.
+    """
+    return bool(net_opt.get("use_proxy")) or \
+        net_opt.get("which_model_G") == "IspUniversal"

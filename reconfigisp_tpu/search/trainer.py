@@ -640,12 +640,9 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
             trainer.save(paths["models"], paths["training_state"],
                          cur_epoch())
     else:
-        # reference ymls select proxy vs native fixed pipelines by network
-        # name (networks.py:31-45: IspUniversal = proxy ops,
-        # OriginUniversal = original algorithms); honor that spelling too
-        use_proxy = bool(net_opt.get("use_proxy")) or \
-            net_opt.get("which_model_G") == "IspUniversal"
-        pipe = Pipeline(net_opt["architecture"], use_proxy=use_proxy)
+        from reconfigisp_tpu.config import network_uses_proxy
+        pipe = Pipeline(net_opt["architecture"],
+                        use_proxy=network_uses_proxy(net_opt))
         trainer = IspTrainer(pipe, train_opt, key=key, mesh=mesh,
                              train_weights=bool(train_opt.get("train_weights")),
                              criterion=criterion, target_key=target_key)

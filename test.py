@@ -46,11 +46,8 @@ def main():
     logger = setup_logger("base", paths.get("log"), f"test_{opt['name']}")
 
     net_opt = opt["network_G"]
-    # reference ymls spell proxy vs native as the network name
-    # (IspUniversal / OriginUniversal, networks.py:31-45)
-    use_proxy = bool(net_opt.get("use_proxy")) or \
-        net_opt.get("which_model_G") == "IspUniversal"
-    pipe = Pipeline(net_opt["architecture"], use_proxy=use_proxy)
+    pipe = Pipeline(net_opt["architecture"],
+                    use_proxy=config.network_uses_proxy(net_opt))
     state = pipe.init(jax.random.PRNGKey(0))
     if paths.get("pretrain_model_G"):
         loaded = checkpoint.load_network(paths["pretrain_model_G"])

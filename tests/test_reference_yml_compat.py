@@ -92,3 +92,19 @@ class TestReferenceYmlCompat:
         from reconfigisp_tpu.pipeline import Pipeline
         assert Pipeline("Bayer_02_Demosaic_02_sRGB_06",
                         use_proxy=True).use_proxy
+
+    def test_network_uses_proxy_shared_mapping(self):
+        """train/test/export all resolve proxy-vs-native through ONE helper
+        so a reference yml builds the same Pipeline everywhere (the export
+        tool once read only use_proxy and silently built native ops for an
+        IspUniversal config)."""
+        from reconfigisp_tpu.config import network_uses_proxy
+        assert network_uses_proxy({"which_model_G": "IspUniversal"})
+        assert not network_uses_proxy({"which_model_G": "OriginUniversal"})
+        assert network_uses_proxy({"use_proxy": True,
+                                   "which_model_G": "OriginUniversal"})
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for fname in ("test.py", os.path.join("tools", "export_pipeline.py"),
+                      os.path.join("reconfigisp_tpu", "search", "trainer.py")):
+            src = open(os.path.join(root, fname)).read()
+            assert "network_uses_proxy" in src, fname

@@ -55,7 +55,7 @@ def main():
     opt = config.parse(args.opt, is_train=False)
     net_opt = opt["network_G"]
     pipe = Pipeline(net_opt["architecture"],
-                    use_proxy=bool(net_opt.get("use_proxy")))
+                    use_proxy=config.network_uses_proxy(net_opt))
     state = pipe.init(jax.random.PRNGKey(0))
     pre = opt["path"].get("pretrain_model_G")
     if pre:
