@@ -18,6 +18,45 @@ _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
                             "reconfigisp_tpu", "xla")
 
 
+def _accelerator_plugin_present() -> bool:
+    """True if a PJRT accelerator plugin is discoverable WITHOUT initializing
+    any backend (backend init can block for minutes when a device tunnel is
+    down — see the verify notes).  jax discovers plugins from the
+    `jax_plugins` namespace package and the `jax_plugins` entry-point group;
+    checking those mirrors its default-backend choice closely enough for the
+    cache on/off decision."""
+    try:
+        # out-of-tree plugins (axon, cuda, rocm, ...) register a backend
+        # factory at import/sitecustomize time; 'cpu' is built in and 'tpu'
+        # is registered unconditionally with fail_quietly (it only works
+        # when local TPU chips exist — checked below via the PCI scan)
+        from jax._src import xla_bridge as _xb
+        if set(_xb._backend_factories) - {"cpu", "tpu"}:
+            return True
+    except Exception:
+        pass
+    try:
+        from jax._src import hardware_utils as _hw
+        n_chips, _ = _hw.num_available_tpu_chips_and_device_id()
+        if n_chips:
+            return True
+    except Exception:
+        pass
+    try:
+        import pkgutil
+
+        import jax_plugins  # namespace package PJRT plugins install into
+        if any(pkgutil.iter_modules(jax_plugins.__path__)):
+            return True
+    except Exception:
+        pass
+    try:
+        from importlib.metadata import entry_points
+        return bool(tuple(entry_points(group="jax_plugins")))
+    except Exception:
+        return False
+
+
 def enable_persistent_cache(cache_dir: str | None = None,
                             min_compile_secs: float = 5.0) -> str | None:
     """Point jax at a persistent compilation cache directory.
@@ -36,7 +75,12 @@ def enable_persistent_cache(cache_dir: str | None = None,
         # mismatches (SIGILL risk) when reloading cached executables, and
         # CPU compiles are minutes at worst — only cache for accelerator
         # backends unless explicitly opted in via RECONFIGISP_CACHE_CPU=1.
-        if (jax.config.jax_platforms or "").strip() == "cpu" \
+        # An UNSET platform counts as CPU unless a PJRT accelerator plugin
+        # is discoverable (then jax's default backend is the accelerator).
+        plats = (jax.config.jax_platforms or "").strip()
+        if not plats and not _accelerator_plugin_present():
+            plats = "cpu"
+        if plats == "cpu" \
                 and os.environ.get("RECONFIGISP_CACHE_CPU") != "1":
             return None
         jax.config.update("jax_compilation_cache_dir", path)
