@@ -122,18 +122,42 @@ def measure_tpu() -> float:
         dt = min(dts)
         mps = MP / dt
 
-        # MFU: XLA's flop count of the dispatched program / wall time / peak
-        mfu = float("nan")
-        try:
+        # MFU: analytic FLOP count of the dispatched program / wall / peak.
+        # XLA's compiled cost_analysis() undercounts this program ~7x (it
+        # does not multiply the lax.map body by its trip count: measured
+        # 3.73 TFLOP/dispatch reported vs 26.3 analytic), so the MXU-work
+        # is counted by hand from the program structure instead:
+        #   * tile grid: tile_positions() per axis, padded to full
+        #     chunk*FPD map groups (padded tiles are computed too);
+        #   * Path-Restore-14L bayer (ops/cnn.py:init_path14): 14 conv3x3
+        #     layers at (patch/2)^2 packed resolution, channels
+        #     4->64, 12x 64->64, 64->4;
+        #   * Malvar masked-stencil demosaic (ops/demosaic.py): 12 shared
+        #     5x5 stencils at patch^2;
+        #   * remaining sRGB ops are elementwise (<40 flops/px) — ignored,
+        #     so this is a slight *undercount* and mfu a lower bound.
+        from reconfigisp_tpu.parallel.tiling import tile_positions
+        tiles = len(tile_positions(H, 256, 240)) \
+            * len(tile_positions(W, 256, 240)) * FPD
+        group = 32 * FPD
+        tiles += (-tiles) % group  # map-group padding is computed work
+        conv_flops = 2 * 9 * (4 * 64 + 12 * 64 * 64 + 64 * 4) * (256 // 2) ** 2
+        demosaic_flops = 2 * 25 * 12 * 256 ** 2
+        flops_per_dispatch = tiles * (conv_flops + demosaic_flops)
+        mfu = flops_per_dispatch / FPD / dt / PEAK_FLOPS
+        log(f"analytic: {flops_per_dispatch / 1e12:.2f} TFLOP/dispatch "
+            f"({tiles} tiles) -> "
+            f"{flops_per_dispatch / FPD / dt / 1e12:.1f} TFLOP/s bf16 "
+            f"(peak {PEAK_FLOPS / 1e12:.0f}; C=64 lane-packing ceiling "
+            f"~98 -> ~{flops_per_dispatch / FPD / dt / 98e12:.0%} of it)")
+        try:  # cross-check only (see undercount note above)
             cost = jax.jit(tiled).lower(state, stacks[0]).compile() \
                 .cost_analysis()
             if isinstance(cost, list):  # older jax returns [dict]
                 cost = cost[0]
-            flops_per_dispatch = float(cost.get("flops", float("nan")))
-            mfu = flops_per_dispatch / FPD / dt / PEAK_FLOPS
-            log(f"cost_analysis: {flops_per_dispatch / 1e12:.2f} "
-                f"TFLOP/dispatch "
-                f"-> {flops_per_dispatch / FPD / dt / 1e12:.1f} TFLOP/s")
+            log(f"cost_analysis cross-check: "
+                f"{float(cost.get('flops', float('nan'))) / 1e12:.2f} "
+                f"TFLOP/dispatch (undercounts lax.map)")
         except Exception as e:  # pragma: no cover - backend-dependent
             log(f"cost_analysis unavailable: {e}")
     log(f"tpu: best-of-2 pipelined {iters // 2}x{FPD}-frame dispatch groups "
