@@ -83,10 +83,11 @@ def measure_tpu() -> float:
     # (bigger map-step batches drive the MXU harder and amortize more of
     # the tunnel RTT) -> 210 MP/s vs 183.6 at chunk 16/FPD 4.
     FPD = 8
+    PATCH, STRIDE, CHUNK = 256, 240, 32
 
     def tiled(s, xs):
         return jnp.sum(tiled_apply(lambda pp: pipe(s, pp), xs,
-                                   patch=256, stride=240, chunk=32))
+                                   patch=PATCH, stride=STRIDE, chunk=CHUNK))
 
     fwd = precision.policy_jit(tiled)
     iters = 6
@@ -137,12 +138,13 @@ def measure_tpu() -> float:
         #   * remaining sRGB ops are elementwise (<40 flops/px) — ignored,
         #     so this is a slight *undercount* and mfu a lower bound.
         from reconfigisp_tpu.parallel.tiling import tile_positions
-        tiles = len(tile_positions(H, 256, 240)) \
-            * len(tile_positions(W, 256, 240)) * FPD
-        group = 32 * FPD
+        tiles = len(tile_positions(H, PATCH, STRIDE)) \
+            * len(tile_positions(W, PATCH, STRIDE)) * FPD
+        group = CHUNK * FPD
         tiles += (-tiles) % group  # map-group padding is computed work
-        conv_flops = 2 * 9 * (4 * 64 + 12 * 64 * 64 + 64 * 4) * (256 // 2) ** 2
-        demosaic_flops = 2 * 25 * 12 * 256 ** 2
+        conv_flops = 2 * 9 * (4 * 64 + 12 * 64 * 64 + 64 * 4) \
+            * (PATCH // 2) ** 2
+        demosaic_flops = 2 * 25 * 12 * PATCH ** 2
         flops_per_dispatch = tiles * (conv_flops + demosaic_flops)
         mfu = flops_per_dispatch / FPD / dt / PEAK_FLOPS
         log(f"analytic: {flops_per_dispatch / 1e12:.2f} TFLOP/dispatch "
