@@ -98,5 +98,6 @@ def network_uses_proxy(net_opt: dict) -> bool:
     key (this framework's spelling) wins.  Shared by train/test/export so
     a reference-format config builds the same Pipeline everywhere.
     """
-    return bool(net_opt.get("use_proxy")) or \
-        net_opt.get("which_model_G") == "IspUniversal"
+    if net_opt.get("use_proxy") is not None:  # explicit key wins, even False
+        return bool(net_opt["use_proxy"])
+    return net_opt.get("which_model_G") == "IspUniversal"

@@ -103,6 +103,14 @@ class TestReferenceYmlCompat:
         assert not network_uses_proxy({"which_model_G": "OriginUniversal"})
         assert network_uses_proxy({"use_proxy": True,
                                    "which_model_G": "OriginUniversal"})
+        # an explicit use_proxy key wins EVEN when False (the shipped
+        # S7ISP/yolo isp configs pair IspUniversal + use_proxy: false with
+        # native-op test configs — flipping them to proxy would train a
+        # weight tree the test pipeline cannot load)
+        assert not network_uses_proxy({"use_proxy": False,
+                                       "which_model_G": "IspUniversal"})
+        assert network_uses_proxy({"use_proxy": None,
+                                   "which_model_G": "IspUniversal"})
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         for fname in ("test.py", os.path.join("tools", "export_pipeline.py"),
                       os.path.join("reconfigisp_tpu", "search", "trainer.py")):
