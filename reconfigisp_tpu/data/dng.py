@@ -178,10 +178,17 @@ def read_dng(path: str):
         offsets = raw_ifd[_TAG_STRIP_OFFSETS]
         counts = raw_ifd.get(_TAG_STRIP_BYTE_COUNTS)
         offsets = offsets if isinstance(offsets, list) else [offsets]
-        if counts is None:
-            counts = [h * ((w * bits + 7) // 8)]
-        counts = counts if isinstance(counts, list) else [counts]
         rows_per_strip = raw_ifd.get(_TAG_ROWS_PER_STRIP, h)
+        # TIFF 6.0: every row begins on a byte boundary, so a bit-packed
+        # row occupies ceil(w*bits/8) bytes regardless of alignment
+        row_bytes = (w * bits + 7) // 8
+        if counts is None:  # default per strip, not one count for the frame
+            counts, left = [], h
+            for _ in offsets:
+                n = min(rows_per_strip, left)
+                counts.append(n * row_bytes)
+                left -= n
+        counts = counts if isinstance(counts, list) else [counts]
 
         rows = []
         remaining = h
@@ -196,7 +203,12 @@ def read_dng(path: str):
             elif bits == 8:
                 arr = np.frombuffer(buf[:n_vals], np.uint8).astype(np.uint16)
             elif bits in (10, 12, 14):
-                arr = _unpack_bits(buf, bits, n_vals)
+                if (w * bits) % 8 == 0:
+                    arr = _unpack_bits(buf, bits, n_vals)
+                else:  # rows carry per-row byte padding — unpack each
+                    arr = np.concatenate([
+                        _unpack_bits(buf[r * row_bytes:(r + 1) * row_bytes],
+                                     bits, w) for r in range(n_rows)])
             else:
                 raise DngError(f"{path}: {bits}-bit samples not supported")
             rows.append(arr.reshape(n_rows, w))
@@ -241,12 +253,16 @@ def write_dng(path: str, mosaic: np.ndarray, *, black: int = 0,
     elif bits == 8:
         payload = mosaic.astype(np.uint8).tobytes()
     elif bits in (10, 12, 14):
-        flat = mosaic.astype(np.uint16).ravel()
-        stream = ((flat[:, None] >> np.arange(bits - 1, -1, -1)) & 1)
-        stream = stream.astype(np.uint8).ravel()
-        pad = (-len(stream)) % 8
-        stream = np.concatenate([stream, np.zeros(pad, np.uint8)])
-        payload = np.packbits(stream).tobytes()
+        # TIFF 6.0: each ROW is padded to a byte boundary (a frame-wide
+        # contiguous bit stream would shift rows whenever w*bits % 8 != 0)
+        vals = mosaic.astype(np.uint16)
+        stream = ((vals[:, :, None] >> np.arange(bits - 1, -1, -1)) & 1)
+        stream = stream.astype(np.uint8).reshape(h, w * bits)
+        pad = (-(w * bits)) % 8
+        if pad:
+            stream = np.concatenate(
+                [stream, np.zeros((h, pad), np.uint8)], axis=1)
+        payload = np.packbits(stream, axis=1).tobytes()
     else:
         raise DngError(f"{bits}-bit write not supported")
 

@@ -47,6 +47,47 @@ class TestRoundTrip:
         np.testing.assert_allclose(meta["as_shot_neutral"],
                                    [0.5, 1.0, 0.7], atol=1e-4)
 
+    @pytest.mark.parametrize("bits", [10, 14])
+    def test_unaligned_row_width(self, tmp_path, bits):
+        """TIFF 6.0 pads every bit-packed ROW to a byte boundary; a width
+        where w*bits % 8 != 0 (even w with w % 4 == 2 at 10/14 bits) must
+        still round-trip without a progressive per-row bit shift."""
+        w = 6
+        assert (w * bits) % 8 != 0
+        m = _mosaic(h=8, w=w, bits=bits)
+        p = str(tmp_path / f"u{bits}.dng")
+        dng.write_dng(p, m, bits=bits)
+        got, _ = dng.read_dng(p)
+        np.testing.assert_array_equal(got, m)
+
+    def test_missing_byte_counts_multi_strip(self, tmp_path):
+        """StripByteCounts is defaultable; with several strips the default
+        must be per-strip (one whole-frame count once truncated the read
+        to the first strip)."""
+        import struct
+        h, w = 8, 6
+        m = _mosaic(h=h, w=w, bits=14)
+        strip_bytes = 4 * w * 2  # RowsPerStrip=4, 16-bit samples
+        ifd_off, n = 8, 4
+        overflow_off = ifd_off + 2 + n * 12 + 4
+        data_off = overflow_off + 8
+        entries = b""
+        for tag, typ, cnt, val4 in (
+                (256, 4, 1, struct.pack("<I", w)),    # ImageWidth
+                (257, 4, 1, struct.pack("<I", h)),    # ImageLength
+                (273, 4, 2, struct.pack("<I", overflow_off)),  # StripOffsets
+                (278, 4, 1, struct.pack("<I", 4))):   # RowsPerStrip
+            entries += struct.pack("<HHI", tag, typ, cnt) + val4
+        blob = (b"II*\0" + struct.pack("<I", ifd_off)
+                + struct.pack("<H", n) + entries + struct.pack("<I", 0)
+                + struct.pack("<II", data_off, data_off + strip_bytes)
+                + m.astype("<u2").tobytes())
+        p = str(tmp_path / "ms.dng")
+        with open(p, "wb") as f:
+            f.write(blob)
+        got, _ = dng.read_dng(p)
+        np.testing.assert_array_equal(got, m)
+
     def test_rejects_non_tiff(self, tmp_path):
         p = str(tmp_path / "x.dng")
         with open(p, "wb") as f:
