@@ -60,3 +60,30 @@ class TestSidFixtures:
         assert (h, w) == (1424, 2128)
         assert s["gt"].shape[:2] == (1424, 2128)
         assert float(s["noisy"].max()) <= 1.0
+
+
+class TestS7GrbgFabrication:
+    def test_grbg_phase_shift_keeps_content_aligned(self):
+        """The S7 fixtures fabricate GRBG by shifting the CFA PHASE only;
+        an np.roll of the RGGB mosaic once shifted the scene a column and
+        misregistered every raw/GT pair (GT is scene[:, 1:-1] after the
+        GRBG->RGGB column crop)."""
+        from reconfigisp_tpu.data import preprocessing
+        tool = _load_tool()
+        rng = np.random.default_rng(0)
+        scene = rng.uniform(0.1, 0.9, (8, 10, 3)).astype(np.float32)
+        grbg = tool._mosaic(
+            np.concatenate([scene[:, :1], scene], axis=1))[:, 1:]
+        # GRBG: row0 = G R G R..., row1 = B G B G..., content at pixel (y,x)
+        assert grbg[0, 0] == scene[0, 0, 1]   # G
+        assert grbg[0, 1] == scene[0, 1, 2]   # R
+        assert grbg[1, 0] == scene[1, 0, 0]   # B
+        assert grbg[1, 1] == scene[1, 1, 1]   # G
+        rggb = preprocessing.grbg_to_rggb(grbg)
+        gt = scene[:, 1:-1]
+        # after the column crop the mosaic is RGGB and every sample matches
+        # the SAME pixel of the cropped GT
+        assert rggb[0, 0] == gt[0, 0, 2]      # R
+        assert rggb[0, 1] == gt[0, 1, 1]      # G
+        assert rggb[1, 0] == gt[1, 0, 1]      # G
+        assert rggb[1, 1] == gt[1, 1, 0]      # B

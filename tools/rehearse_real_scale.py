@@ -188,7 +188,11 @@ def build_s7_fixtures(root, n_train=2, n_test=1, seed=2):
     raws, gts = [], []
     for i in range(n_train + n_test):
         scene = _smooth_scene(rng, H, W)
-        grbg = np.roll(_mosaic(scene), 1, axis=1)  # fabricate the GRBG phase
+        # fabricate GRBG by shifting the CFA PHASE, not the image content
+        # (np.roll of an RGGB mosaic would shift the scene one column and
+        # misregister every raw/GT pair): mosaic a left-padded scene so
+        # column x keeps scene pixel x but samples the (x+1)%2 CFA phase
+        grbg = _mosaic(np.concatenate([scene[:, :1], scene], axis=1))[:, 1:]
         noisy = grbg + rng.normal(0, 0.01, grbg.shape)
         u16 = np.clip(noisy * WHITE, 0, WHITE).astype(np.uint16)
         rggb_u16 = preprocessing.grbg_to_rggb(u16)
