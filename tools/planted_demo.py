@@ -203,7 +203,11 @@ def main():
 
     # ---- 3+4) step-2 training + ablations + held-out PSNR ----------------
     candidates = {"searched": arch, **ablations_of(arch)}
-    psnrs = dict(results.get("step2_psnr", {}))
+    # drop cached entries that are not candidates of THIS run's searched
+    # architecture (a re-run search may decode differently; a stale
+    # ablation key of the old arch would otherwise feed the margin)
+    psnrs = {k: v for k, v in results.get("step2_psnr", {}).items()
+             if k in candidates}
     for name, a in candidates.items():
         # reuse a cached result only if it trained the same architecture
         # (a re-run search may decode differently)
