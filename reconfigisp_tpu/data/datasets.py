@@ -48,12 +48,32 @@ class _AccessCounter:
     def __init__(self):
         self._lock = threading.Lock()
         self._counts: dict = collections.defaultdict(int)
+        self._base = 0
+
+    def set_base(self, n: int) -> None:
+        with self._lock:
+            self._base = int(n)
 
     def next_for(self, idx: int) -> int:
         with self._lock:
             n = self._counts[idx]
             self._counts[idx] = n + 1
-            return n
+            return self._base + n
+
+
+def set_access_base(dataset, n: int) -> None:
+    """Start `dataset`'s crop-access counters at n.
+
+    The counters are in-memory only, so a RESUMED run would otherwise
+    replay the epoch-0 crop sequence (fresh-crop augmentation silently
+    repeats what the pre-resume run already trained on).  Resumed trainers
+    call this with an upper bound on any per-image access count already
+    drawn (total steps x batch), which keeps resumed crops fresh and
+    deterministic given the resume point.  No-op for datasets without
+    crop counters."""
+    acc = getattr(dataset, "_access", None)
+    if acc is not None:
+        acc.set_base(int(n))
 
 
 class SyntheticRawDataset:

@@ -555,6 +555,10 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
                 start_epoch = trainer.resume(latest)
                 logger.info(f"resumed from {latest} (step {trainer.step_idx}, "
                             f"epoch {start_epoch})")
+                # advance crop-access counters past anything the pre-resume
+                # run drew, or fresh-crop augmentation replays epoch 0
+                from reconfigisp_tpu.data.datasets import set_access_base
+                set_access_base(dataset, trainer.step_idx * batch_size)
 
         # pretrained module weights (reference super_prune...py:34-47 loads
         # 12 proxy checkpoints at construction; produced here by

@@ -38,6 +38,23 @@ class TestCropRng:
         crops = [ds[0]["noisy"] for _ in range(12)]
         assert any(not np.array_equal(crops[0], c) for c in crops[1:])
 
+    def test_resume_does_not_replay_epoch0_crops(self, tmp_path):
+        """Access counters are in-memory only; a resumed run must advance
+        them (set_access_base) or it re-draws exactly the crops the
+        pre-resume run already trained on, in order."""
+        from reconfigisp_tpu.data.datasets import set_access_base
+        root = _folder_pair(tmp_path)
+        ds1 = RawPairFolderDataset(root, data_size=8, is_train=True)
+        seq = [ds1[0]["noisy"] for _ in range(6)]
+        resumed = RawPairFolderDataset(root, data_size=8, is_train=True)
+        set_access_base(resumed, 4)
+        # the resumed stream continues where access 4 left off ...
+        np.testing.assert_array_equal(resumed[0]["noisy"], seq[4])
+        np.testing.assert_array_equal(resumed[0]["noisy"], seq[5])
+        # ... instead of replaying accesses 0..N
+        replayed = RawPairFolderDataset(root, data_size=8, is_train=True)
+        np.testing.assert_array_equal(replayed[0]["noisy"], seq[0])
+
     def test_eval_crops_deterministic(self, tmp_path):
         root = _folder_pair(tmp_path)
         ds = RawPairFolderDataset(root, data_size=8, is_train=False)
