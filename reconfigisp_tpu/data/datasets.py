@@ -68,9 +68,10 @@ def set_access_base(dataset, n: int) -> None:
     replay the epoch-0 crop sequence (fresh-crop augmentation silently
     repeats what the pre-resume run already trained on).  Resumed trainers
     call this with an upper bound on any per-image access count already
-    drawn (total steps x batch), which keeps resumed crops fresh and
-    deterministic given the resume point.  No-op for datasets without
-    crop counters."""
+    drawn — total steps x batch, plus a slack covering the val probe's
+    construction/firing draws (trainer._probe_access_slack) — which keeps
+    resumed crops fresh and deterministic given the resume point.  No-op
+    for datasets without crop counters."""
     acc = getattr(dataset, "_access", None)
     if acc is not None:
         acc.set_base(int(n))
@@ -427,9 +428,25 @@ class OnePlusDetectionDataset:
         self.is_train = is_train
         self.classes = classes or ONEPLUS_CLASSES
         self._access = _AccessCounter()
+        # eval coverage (VERDICT r3 weak #6): a fixed top-left crop scored
+        # one corner of every frame whenever data_size < desired.  Eval now
+        # tiles the padded frame deterministically — offsets evenly spaced
+        # over [0, d-s], even-snapped for RGGB phase, last tile flush with
+        # the far edge — and __len__ enumerates image x tile.  With
+        # data_size == desired there is one (0, 0) tile: the full padded
+        # frame (the old r0=top start truncated the crop to d-top rows and
+        # mis-scaled every label by the same factor).
+        if not is_train and data_size < desired:
+            k = int(np.ceil(desired / data_size)) + 1
+            offs = sorted({int(o) // 2 * 2 for o in
+                           np.linspace(0, desired - data_size, k)})
+            self._eval_tiles = [(r, c) for r in offs for c in offs]
+        else:
+            self._eval_tiles = [(0, 0)]
 
     def __len__(self):
-        return len(self.img_files)
+        n_tiles = 1 if self.is_train else len(self._eval_tiles)
+        return len(self.img_files) * n_tiles
 
     def _load_resized(self, idx: int):
         """-> (mosaic01 (D, D, 1), ratio_h, ratio_w, top_pad)."""
@@ -464,10 +481,12 @@ class OnePlusDetectionDataset:
         return out
 
     def __getitem__(self, idx: int) -> dict:
-        mosaic, rh, rw, top = self._load_resized(idx)
-        raw_boxes = self._boxes(idx)
+        n_tiles = 1 if self.is_train else len(self._eval_tiles)
+        img_idx, tile_idx = idx // n_tiles, idx % n_tiles
+        mosaic, rh, rw, top = self._load_resized(img_idx)
+        raw_boxes = self._boxes(img_idx)
         s = self.data_size
-        rng = _crop_rng(self.seed, idx,
+        rng = _crop_rng(self.seed, img_idx,
                         self._access.next_for(idx), self.is_train)
         d = self.desired
 
@@ -477,11 +496,12 @@ class OnePlusDetectionDataset:
         # an object rather than whatever the last draw happened to be
         best = (mosaic[:s, :s], np.zeros((self.max_boxes, 6), np.float32))
         best_score = (-1, -1.0)
-        for _ in range(self.max_crop):
-            r0 = int(rng.integers(min(top, d - s), d - s + 1)) // 2 * 2 \
-                if self.is_train else top
-            c0 = int(rng.integers(0, d - s + 1)) // 2 * 2 \
-                if self.is_train else 0
+        for _ in range(self.max_crop if self.is_train else 1):
+            if self.is_train:
+                r0 = int(rng.integers(min(top, d - s), d - s + 1)) // 2 * 2
+                c0 = int(rng.integers(0, d - s + 1)) // 2 * 2
+            else:
+                r0, c0 = self._eval_tiles[tile_idx]
             labels = np.zeros((self.max_boxes, 6), np.float32)
             k = 0
             max_vis = 0.0

@@ -113,9 +113,15 @@ class Loader:
 
 def create_loader(dataset, batch_size: int, *, shuffle_seed: int = 0,
                   rank: int = 0, world: int = 1, start_epoch: int = 0,
+                  skip: int = 0,
                   collate: Callable = default_collate) -> Loader:
     """Whole-dataset loader (fixed-pipeline training / test;
-    reference data/__init__.py:26-28 uses bs=1 for test)."""
+    reference data/__init__.py:26-28 uses bs=1 for test).
+
+    :param skip: samples (per this rank) to drop from the front of the
+        infinite stream — resumed fixed-pipeline runs pass
+        step*batch so the data order continues exactly where the
+        pre-resume run stopped instead of replaying its epochs."""
 
     class _All:
         def __init__(self, n, seed):
@@ -126,11 +132,17 @@ def create_loader(dataset, batch_size: int, *, shuffle_seed: int = 0,
             return len(range(rank, self.n, world))
 
         def __iter__(self):
-            epoch = start_epoch
+            epoch, to_skip = start_epoch, int(skip)
             while True:
                 rng = np.random.default_rng(self.seed + epoch)
-                for i in rng.permutation(self.n)[rank::world]:
+                idxs = rng.permutation(self.n)[rank::world]
+                if to_skip >= len(idxs):
+                    to_skip -= len(idxs)
+                    epoch += 1
+                    continue
+                for i in idxs[to_skip:]:
                     yield int(i)
+                to_skip = 0
                 epoch += 1
 
     return Loader(dataset, _All(len(dataset), shuffle_seed), batch_size,
