@@ -6,12 +6,14 @@ denoise, Malvar demosaic, gamma, quadratic CCM, manual WB — compiled to one
 XLA program over an HBM-resident 4096x3072 mosaic (12.6 MP).
 
 Baseline: the reference implementation targets CUDA GPUs, which this
-environment does not have, so `vs_baseline` compares against the same
-pipeline implemented in PyTorch (independently written here, same ops/shapes)
-on the available torch backend (CPU, ~0.34 MP/s at 512x512, cached in
-.bench_baseline.json).  That makes the printed ratio a torch-*CPU* ratio —
-state-of-the-art GPU inference of this conv stack would land in the tens of
-MP/s, so read the absolute MP/s number, not the ratio, as the headline.
+environment does not have.  `vs_baseline` is therefore the ratio against a
+DOCUMENTED GPU-class estimate (GPU_EST_* constants below: the same tiled
+FLOP count at 40% of V100 fp32 peak, ~24 MP/s — BASELINE.md's >=10x
+PyTorch-GPU target is judged against this).  The same pipeline independently
+written in PyTorch is still measured on the available torch backend (CPU,
+~0.34 MP/s at 512x512, cached in .bench_baseline.json) and reported as the
+secondary `vs_torch_cpu_measured` key; through round 3 that CPU ratio was
+what `vs_baseline` held, which was apples-to-oranges vs the target.
 History: 49.6 MP/s (r1, f32, strided Bayer pack, per-frame dispatch) ->
 105 MP/s (r2: bf16 storage, reshape-based pack, fused elementwise CCM,
 multi-frame dispatch amortizing the ~25 ms tunnel RTT) -> 183.6 MP/s (r2,
@@ -20,11 +22,11 @@ program drives the conv stack ~2x harder than one 12 MP-wide conv) ->
 210 MP/s (r3: chunk 32 / 8 frames per dispatch, round-3 tile sweep) ->
 218 MP/s (r3: pipelined dispatches — enqueue every dispatch before
 blocking, hiding the remaining per-dispatch tunnel RTT behind device
-compute) -> 313 MP/s (r3: the 183.6-218 figures had silently measured an
-f32-storage program — policy_jit dispatches on the policy active at each
-call, and the timed loop sat OUTSIDE the cnn_storage('bf16') context;
-holding the policy for the whole measurement recovers the bf16 program:
-40.1 ms / 12 MP frame).
+compute) -> 311.2 MP/s (r3, BENCH_r03.json: the 183.6-218 figures had
+silently measured an f32-storage program — policy_jit dispatches on the
+policy active at each call, and the timed loop sat OUTSIDE the
+cnn_storage('bf16') context; holding the policy for the whole measurement
+recovers the bf16 program: ~40 ms / 12 MP frame).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": ratio,
@@ -45,6 +47,53 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_baseline.json")
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16
 PEAK_FLOPS = 197e12
+# GPU-class baseline ESTIMATE (no GPU exists in this environment; the
+# measured torch figure below is CPU-only).  BASELINE.md's target is >=10x
+# PyTorch-GPU raw->sRGB throughput.  Estimate: the pipeline is conv-stack
+# dominated (~3.3 TFLOP per 12 MP frame over the same overlap-tiled grid,
+# counted below); reference-era torch runs it fp32 without AMP, and cudnn
+# 3x3/64ch conv stacks sustain ~40% of fp32 peak.  On a V100 (15.7 TFLOP/s
+# fp32; 2080Ti=13.4, A100=19.5 bracket it) that is ~6.3 TFLOP/s ->
+# ~1.9 frames/s -> ~24 MP/s.  Even a physically-unachievable 100%-of-peak
+# V100 caps at ~60 MP/s.
+GPU_EST_PEAK_FP32 = 15.7e12   # V100
+GPU_EST_EFFICIENCY = 0.40     # sustained fraction of peak for this stack
+
+
+def analytic_flops_per_frame(state, patch: int) -> float:
+    """MXU/VPU work per tile, counted from the ACTUAL program parameters.
+
+    * conv stack: every 4-D kernel leaf in the pipeline state is a
+      (kh, kw, cin, cout) conv evaluated at packed (patch/2)^2 resolution
+      (ops/cnn.py Path-Restore runs on RGGB planes) -> 2*kh*kw*cin*cout
+      flops/packed-px.  Derived from `state`, not hardcoded shapes, so an
+      ARCH change cannot silently stale the count.
+    * demosaic: counted from the actual stencil bank the op evaluates
+      (ops/demosaic.py _demosaic_conv): distinct stencils are computed once
+      (the op dedups by bytes), each costing ~2*ntaps flops/px over its
+      nonzero taps, then 12 (color, phase) slots blend at 2 flops/px each.
+    * remaining sRGB ops are elementwise (<40 flops/px) — ignored; the
+      total is approximate but within a few percent of the MXU work.
+    """
+    import numpy as np
+    import jax.tree_util as jtu
+    assert "Demosaic_03" in ARCH, (
+        "analytic count assumes the Malvar stencil demosaic; re-derive for "
+        f"other demosaic choices (ARCH={ARCH})")
+    conv_per_px = sum(
+        2 * int(np.prod(leaf.shape))
+        for leaf in jtu.tree_leaves(state)
+        if hasattr(leaf, "shape") and len(getattr(leaf, "shape", ())) == 4)
+    conv = conv_per_px * (patch // 2) ** 2
+
+    from reconfigisp_tpu.ops.demosaic import _BANKS
+    bank = _BANKS["malvar"]
+    distinct = {k.tobytes(): int((k != 0).sum())
+                for c in ("b", "g", "r") for k in bank[c]}
+    stencil_per_px = sum(2 * n for n in distinct.values())
+    blend_per_px = 12 * 2
+    demosaic = (stencil_per_px + blend_per_px) * patch ** 2
+    return conv + demosaic
 
 
 def log(*a):
@@ -124,47 +173,62 @@ def measure_tpu() -> float:
         mps = MP / dt
 
         # MFU: analytic FLOP count of the dispatched program / wall / peak.
-        # XLA's compiled cost_analysis() undercounts this program ~7x (it
-        # does not multiply the lax.map body by its trip count: measured
-        # 3.73 TFLOP/dispatch reported vs 26.3 analytic), so the MXU-work
-        # is counted by hand from the program structure instead:
-        #   * tile grid: tile_positions() per axis, padded to full
-        #     chunk*FPD map groups (padded tiles are computed too);
-        #   * Path-Restore-14L bayer (ops/cnn.py:init_path14): 14 conv3x3
-        #     layers at (patch/2)^2 packed resolution, channels
-        #     4->64, 12x 64->64, 64->4;
-        #   * Malvar masked-stencil demosaic (ops/demosaic.py): 12 shared
-        #     5x5 stencils at patch^2;
-        #   * remaining sRGB ops are elementwise (<40 flops/px) — ignored,
-        #     so this is a slight *undercount* and mfu a lower bound.
+        # XLA's compiled cost_analysis() undercounts the WHOLE tiled program
+        # ~7x (it does not multiply the lax.map body by its trip count:
+        # 3.73 TFLOP/dispatch reported vs ~26 analytic), so the MXU work is
+        # (a) counted from the actual program parameters
+        #     (analytic_flops_per_frame: conv shapes from the state pytree,
+        #      demosaic taps from the stencil bank) over the tile grid
+        #     incl. map-group padding (padded tiles are computed too), and
+        # (b) CONFIRMED by the compiler on the lax.map BODY alone — one map
+        #     step has no trip count to drop, so cost_analysis(body) is
+        #     trustworthy, and body_flops * n_map_steps is a second,
+        #     compiler-derived count of the same dispatch (within a few %:
+        #     XLA counts the elementwise sRGB tail the analytic one skips).
         from reconfigisp_tpu.parallel.tiling import tile_positions
         tiles = len(tile_positions(H, PATCH, STRIDE)) \
             * len(tile_positions(W, PATCH, STRIDE)) * FPD
         group = CHUNK * FPD
         tiles += (-tiles) % group  # map-group padding is computed work
-        conv_flops = 2 * 9 * (4 * 64 + 12 * 64 * 64 + 64 * 4) \
-            * (PATCH // 2) ** 2
-        demosaic_flops = 2 * 25 * 12 * PATCH ** 2
-        flops_per_dispatch = tiles * (conv_flops + demosaic_flops)
+        per_tile = analytic_flops_per_frame(state, PATCH)
+        flops_per_dispatch = tiles * per_tile
         mfu = flops_per_dispatch / FPD / dt / PEAK_FLOPS
         log(f"analytic: {flops_per_dispatch / 1e12:.2f} TFLOP/dispatch "
             f"({tiles} tiles) -> "
             f"{flops_per_dispatch / FPD / dt / 1e12:.1f} TFLOP/s bf16 "
             f"(peak {PEAK_FLOPS / 1e12:.0f}; C=64 lane-packing ceiling "
             f"~98 -> ~{flops_per_dispatch / FPD / dt / 98e12:.0%} of it)")
-        try:  # cross-check only (see undercount note above)
-            cost = jax.jit(tiled).lower(state, stacks[0]).compile() \
-                .cost_analysis()
+        mfu_xla = None
+        try:
+            n_steps = tiles // group
+            body = jax.jit(lambda s, pp: pipe(s, pp))
+            tile_batch = jnp.zeros((group, PATCH, PATCH, 1), jnp.float32)
+            cost = body.lower(state, tile_batch).compile().cost_analysis()
             if isinstance(cost, list):  # older jax returns [dict]
                 cost = cost[0]
-            log(f"cost_analysis cross-check: "
-                f"{float(cost.get('flops', float('nan'))) / 1e12:.2f} "
-                f"TFLOP/dispatch (undercounts lax.map)")
+            body_flops = float(cost.get("flops", float("nan")))
+            xla_total = body_flops * n_steps
+            mfu_xla = xla_total / FPD / dt / PEAK_FLOPS
+            log(f"compiler reconciliation: cost_analysis(map body) = "
+                f"{body_flops / 1e9:.2f} GFLOP x {n_steps} map steps = "
+                f"{xla_total / 1e12:.2f} TFLOP/dispatch "
+                f"(analytic {flops_per_dispatch / 1e12:.2f}; "
+                f"ratio {xla_total / flops_per_dispatch:.3f}) "
+                f"-> mfu_xla {mfu_xla:.3f}")
+            whole = jax.jit(tiled).lower(state, stacks[0]).compile() \
+                .cost_analysis()
+            if isinstance(whole, list):
+                whole = whole[0]
+            log(f"cost_analysis(whole program) = "
+                f"{float(whole.get('flops', float('nan'))) / 1e12:.2f} "
+                f"TFLOP/dispatch (drops the lax.map trip count — the known "
+                f"undercount)")
         except Exception as e:  # pragma: no cover - backend-dependent
             log(f"cost_analysis unavailable: {e}")
     log(f"tpu: best-of-2 pipelined {iters // 2}x{FPD}-frame dispatch groups "
-        f"-> {mps:.1f} MP/s ({dt * 1e3:.1f} ms / 12MP frame, mfu {mfu:.3f})")
-    return mps, mfu
+        f"-> {mps:.1f} MP/s ({dt * 1e3:.1f} ms / 12MP frame, mfu {mfu:.3f}"
+        + (f", mfu_xla {mfu_xla:.3f}" if mfu_xla is not None else "") + ")")
+    return mps, mfu, mfu_xla, flops_per_dispatch / FPD
 
 
 # ------------------------------------------------------------ torch baseline
@@ -238,7 +302,7 @@ def main():
     attempts = int(os.environ.get("BENCH_TUNNEL_ATTEMPTS", "3"))
     for i in range(attempts):
         try:
-            tpu_mps, mfu = measure_tpu()
+            tpu_mps, mfu, mfu_xla, flops_per_frame = measure_tpu()
             break
         except Exception as e:  # backend init / UNAVAILABLE
             log(f"TPU measurement attempt {i + 1}/{attempts} failed: {e}")
@@ -246,22 +310,37 @@ def main():
                 raise
             time.sleep(150)
     try:
-        base_mps = measure_torch_baseline()
-        vs = tpu_mps / base_mps
+        cpu_mps = measure_torch_baseline()
+        vs_cpu = tpu_mps / cpu_mps
     except Exception as e:  # pragma: no cover
         log(f"baseline measurement failed: {e}")
-        vs = float("nan")
+        vs_cpu = float("nan")
+    # vs_baseline: ratio against a DOCUMENTED GPU-class estimate (see
+    # GPU_EST_* at top) — BASELINE.md's target is >=10x PyTorch-GPU and no
+    # GPU exists here, so the denominator is the same tiled FLOP count at
+    # 40% of V100 fp32 peak.  The measured torch-CPU ratio is kept as a
+    # secondary key (it was `vs_baseline` through round 3 and is NOT
+    # comparable to the target).
+    gpu_est_mps = MP * GPU_EST_PEAK_FP32 * GPU_EST_EFFICIENCY \
+        / flops_per_frame
+    vs = tpu_mps / gpu_est_mps
+    log(f"gpu-class estimate: {flops_per_frame / 1e12:.2f} TFLOP/frame at "
+        f"{GPU_EST_EFFICIENCY:.0%} of V100 fp32 peak -> "
+        f"{gpu_est_mps:.1f} MP/s; vs_baseline {vs:.2f}x "
+        f"(100%-of-peak bound would be {gpu_est_mps / GPU_EST_EFFICIENCY:.0f}"
+        f" MP/s -> {vs * GPU_EST_EFFICIENCY:.1f}x)")
     print(json.dumps({
         "metric": "raw2srgb_throughput_12mp",
         "value": round(tpu_mps, 2),
         "unit": "MP/s",
         "vs_baseline": round(vs, 2),
-        # vs_baseline is the same pipeline in torch on the only torch
-        # backend available here (CPU) — NOT a GPU figure; read the
-        # absolute MP/s + mfu as the headline (BASELINE.md target is
-        # >=10x PyTorch-GPU, which would be ~tens of MP/s)
-        "baseline": "pytorch-cpu@512px",
+        "baseline": f"pytorch-gpu-estimate(V100-fp32@"
+                    f"{GPU_EST_EFFICIENCY:.0%}peak={gpu_est_mps:.1f}MP/s)",
+        "vs_torch_cpu_measured": round(vs_cpu, 2) if vs_cpu == vs_cpu
+        else None,
         "mfu": round(mfu, 4) if mfu == mfu else None,
+        "mfu_xla_body_x_tripcount": round(mfu_xla, 4)
+        if mfu_xla is not None else None,
     }))
 
 
