@@ -564,10 +564,14 @@ def create_dataset(dataset_opt: dict):
             seed=dataset_opt.get("seed", 0) or 0)
     seed = dataset_opt.get("seed", 0) or 0
     if mode.startswith("OnePlus"):
+        desired = dataset_opt.get("desired_size", 1024) or 1024
+        # `data_size: ~` means whole image in the reference's test ymls
+        # (options/test/yolo_test.yml:17) — for OnePlus that is the full
+        # resized frame (`desired`), not the 256 training default
         return OnePlusDetectionDataset(
             dataset_opt["dataroot"],
-            dataset_opt.get("data_size", 256) or 256,
-            desired=dataset_opt.get("desired_size", 1024) or 1024,
+            dataset_opt.get("data_size") or (256 if is_train else desired),
+            desired=desired,
             max_crop=dataset_opt.get("max_crop", 4) or 4,
             max_boxes=dataset_opt.get("max_boxes", 16) or 16,
             seed=seed, is_train=is_train)

@@ -64,8 +64,10 @@ def eval_psnr(arch: str, state, n: int = 16, size: int = 128,
     return float(np.mean(vals))
 
 
-def train_fixed(arch: str, niter: int, *, use_proxy: bool = False) -> tuple:
+def train_fixed(arch: str, niter: int, *, use_proxy: bool = False,
+                seed: int = 0) -> tuple:
     """Step-2 training of a fixed architecture -> (final_state, summary)."""
+    import jax
     from reconfigisp_tpu import config
     from reconfigisp_tpu.search.trainer import run_training, IspTrainer
     from reconfigisp_tpu.pipeline import Pipeline
@@ -83,9 +85,10 @@ def train_fixed(arch: str, niter: int, *, use_proxy: bool = False) -> tuple:
     # in-process variant of run_training's isp branch so we can keep the
     # trained state for evaluation
     ds = SyntheticPlantedDataset(
-        n=64, size=96, seed=opt["train"].get("manual_seed", 10) or 10)
+        n=64, size=96,
+        seed=(opt["train"].get("manual_seed", 10) or 10) + seed)
     pipe = Pipeline(arch, use_proxy=use_proxy)
-    tr = IspTrainer(pipe, opt["train"],
+    tr = IspTrainer(pipe, opt["train"], key=jax.random.PRNGKey(seed),
                     train_weights=bool(opt["train"].get("train_weights")))
     if os.path.exists(PROXIES):
         from reconfigisp_tpu.utils import checkpoint
@@ -107,7 +110,11 @@ def train_fixed(arch: str, niter: int, *, use_proxy: bool = False) -> tuple:
 
 
 def ablations_of(arch: str) -> dict:
-    """Single-op ablations of a searched architecture string."""
+    """Single-op ablations of a searched architecture string, DEDUPED by
+    the resulting pipeline: when the searched arch repeats an sRGB op
+    (e.g. sRGB_13_13_13), skipping any one copy commutes to the same
+    pipeline — listing it three times would triple-count one ablation
+    (VERDICT r3 weak #1)."""
     from reconfigisp_tpu.pipeline import parse_architecture
     steps = parse_architecture(arch)
     out = {}
@@ -119,8 +126,9 @@ def ablations_of(arch: str) -> dict:
     # each sRGB step -> skip (10), one at a time
     for i, (dom, idx) in enumerate(steps):
         if dom == "srgb" and idx != 10:
-            out[f"drop_srgb_step{i}"] = _format(
-                steps[:i] + [("srgb", 10)] + steps[i + 1:])
+            cand = _format(steps[:i] + [("srgb", 10)] + steps[i + 1:])
+            if cand not in out.values():
+                out[f"drop_srgb_step{i}"] = cand
     return out
 
 
@@ -136,12 +144,82 @@ def _format(steps) -> str:
     return "_".join(parts)
 
 
+def run_one_seed(seed: int, search_iters: int, isp_iters: int,
+                 prior: dict, save) -> dict:
+    """One full demo pass under `seed`: three search legs (the seed offsets
+    both the search init key and the step-2 data/init keys; the planted
+    workload itself is the fixed ground-truth pipeline) -> step-2 training
+    of the searched arch + deduped ablations -> held-out PSNR -> margin."""
+    from reconfigisp_tpu import config
+    from reconfigisp_tpu.search.trainer import run_training
+
+    res = dict(prior)
+    for leg, cfg in (("native", "configs/planted_search.yaml"),
+                     ("proxy", "configs/planted_search_proxy.yaml"),
+                     ("ft", "configs/planted_search_ft.yaml")):
+        if res.get(f"search_{leg}", {}).get("iters") == search_iters:
+            log(f"seed {seed}: reusing cached {leg} search")
+            continue
+        log(f"seed {seed}: {leg} search ({search_iters} iters)...")
+        opt = config.parse(cfg, is_train=True)
+        opt["train"]["manual_seed"] = \
+            (opt["train"].get("manual_seed") or 0) + seed
+        t0 = time.time()
+        summary = run_training(opt, max_iters=search_iters)
+        res[f"search_{leg}"] = {
+            "architecture": summary["architecture"],
+            "loss": summary.get("loss"),
+            "val_loss": summary.get("val_loss"),
+            "iters": search_iters,
+            "seconds": round(time.time() - t0, 1),
+        }
+        log(f"seed {seed}: {leg} search -> {summary['architecture']} "
+            f"({res[f'search_{leg}']['seconds']}s)")
+        save(res)
+
+    arch = res["search_native"]["architecture"]
+
+    candidates = {"searched": arch, **ablations_of(arch)}
+    # drop cached entries that are not candidates of THIS run's searched
+    # architecture (a re-run search may decode differently; a stale
+    # ablation key of the old arch would otherwise feed the margin)
+    psnrs = {k: v for k, v in res.get("step2_psnr", {}).items()
+             if k in candidates}
+    for name, a in candidates.items():
+        # reuse a cached result only if it trained the same architecture
+        if psnrs.get(name, {}).get("architecture") == a:
+            continue
+        log(f"seed {seed}: step-2 training {name}: {a} ({isp_iters} iters)")
+        state, logs = train_fixed(a, isp_iters, seed=seed)
+        psnrs[name] = {"architecture": a,
+                       "train_loss": float(logs.get("loss", np.nan)),
+                       "psnr": eval_psnr(a, state)}
+        log(f"  seed {seed} {name}: held-out PSNR "
+            f"{psnrs[name]['psnr']:.2f} dB")
+        res["step2_psnr"] = psnrs
+        save(res)
+
+    searched = psnrs["searched"]["psnr"]
+    best_abl = max(v["psnr"] for k, v in psnrs.items() if k != "searched")
+    res["margin_db"] = round(searched - best_abl, 3)
+    res["planted_recovered"] = {
+        "bayer_is_denoise": arch.startswith("Bayer_01"),
+        "demosaic_is_highquality": ("_Demosaic_03" in arch
+                                    or "_Demosaic_04" in arch),
+    }
+    save(res)
+    log(f"seed {seed}: searched {searched:.2f} dB vs best ablation "
+        f"{best_abl:.2f} dB (margin {res['margin_db']:+.2f} dB)")
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--skip-pretrain", action="store_true")
-    ap.add_argument("--skip-search", action="store_true",
-                    help="reuse architectures from an existing results.json")
+    ap.add_argument("--seeds", default="0,1,2",
+                    help="comma-separated seed sweep (VERDICT r3 #4: the "
+                         "margin is reported as mean±std across seeds)")
     args = ap.parse_args()
 
     from reconfigisp_tpu.utils.cache import enable_persistent_cache
@@ -153,13 +231,15 @@ def main():
     if os.path.exists(rpath):
         with open(rpath) as f:
             results = json.load(f)
+    results.setdefault("seeds", {})
 
     scale = 0.1 if args.fast else 1.0
     pre_steps = max(int(3000 * scale), 200)
     search_iters = max(int(1500 * scale), 60)
     isp_iters = max(int(800 * scale), 60)
 
-    # ---- 0) module pretraining -------------------------------------------
+    # ---- 0) module pretraining (shared across seeds, like the reference's
+    # pretrained proxy bank) --------------------------------------------
     if not args.skip_pretrain and not os.path.exists(PROXIES):
         from reconfigisp_tpu.search.proxy_pretrain import pretrain_modules
         from reconfigisp_tpu.utils import checkpoint
@@ -175,67 +255,47 @@ def main():
             os.replace(src, PROXIES)
         log(f"saved {sorted(trained)} -> {PROXIES}")
 
-    # ---- 1+2) searches ----------------------------------------------------
-    from reconfigisp_tpu import config
-    from reconfigisp_tpu.search.trainer import run_training
+    # ---- per-seed sweep ---------------------------------------------------
+    seeds = [int(s) for s in args.seeds.split(",") if s != ""]
+    for seed in seeds:
+        skey = str(seed)
 
-    if not args.skip_search:
-        for leg, cfg in (("native", "configs/planted_search.yaml"),
-                         ("proxy", "configs/planted_search_proxy.yaml"),
-                         ("ft", "configs/planted_search_ft.yaml")):
-            log(f"{leg} search ({search_iters} iters)...")
-            opt = config.parse(cfg, is_train=True)
-            t0 = time.time()
-            summary = run_training(opt, max_iters=search_iters)
-            results[f"search_{leg}"] = {
-                "architecture": summary["architecture"],
-                "loss": summary.get("loss"),
-                "val_loss": summary.get("val_loss"),
-                "iters": search_iters,
-                "seconds": round(time.time() - t0, 1),
-            }
-            log(f"{leg} search -> {summary['architecture']} "
-                f"({results[f'search_{leg}']['seconds']}s)")
+        def save(res, skey=skey):
+            results["seeds"][skey] = res
             with open(rpath, "w") as f:
                 json.dump(results, f, indent=1)
 
-    arch = results["search_native"]["architecture"]
+        prior = results["seeds"].get(skey, {})
+        # seed-0 back-compat: adopt a pre-sweep flat artifact as seed 0
+        if seed == 0 and not prior and "search_native" in results:
+            prior = {k: results[k] for k in
+                     ("search_native", "search_proxy", "search_ft",
+                      "step2_psnr", "margin_db") if k in results}
+        results["seeds"][skey] = run_one_seed(
+            seed, search_iters, isp_iters, prior, save)
 
-    # ---- 3+4) step-2 training + ablations + held-out PSNR ----------------
-    candidates = {"searched": arch, **ablations_of(arch)}
-    # drop cached entries that are not candidates of THIS run's searched
-    # architecture (a re-run search may decode differently; a stale
-    # ablation key of the old arch would otherwise feed the margin)
-    psnrs = {k: v for k, v in results.get("step2_psnr", {}).items()
-             if k in candidates}
-    for name, a in candidates.items():
-        # reuse a cached result only if it trained the same architecture
-        # (a re-run search may decode differently)
-        if psnrs.get(name, {}).get("architecture") == a:
-            continue
-        log(f"step-2 training {name}: {a} ({isp_iters} iters)")
-        state, logs = train_fixed(a, isp_iters)
-        psnrs[name] = {"architecture": a,
-                       "train_loss": float(logs.get("loss", np.nan)),
-                       "psnr": eval_psnr(a, state)}
-        log(f"  {name}: held-out PSNR {psnrs[name]['psnr']:.2f} dB")
-        results["step2_psnr"] = psnrs
-        with open(rpath, "w") as f:
-            json.dump(results, f, indent=1)
-
-    searched = psnrs["searched"]["psnr"]
-    best_abl = max(v["psnr"] for k, v in psnrs.items() if k != "searched")
-    results["margin_db"] = round(searched - best_abl, 3)
-    results["planted_recovered"] = {
-        "bayer_is_denoise": arch.startswith("Bayer_01"),
-        "demosaic_is_highquality": ("_Demosaic_03" in arch
-                                    or "_Demosaic_04" in arch),
-    }
+    # ---- aggregate --------------------------------------------------------
+    done = [results["seeds"][str(s)] for s in seeds
+            if "margin_db" in results["seeds"].get(str(s), {})]
+    margins = [r["margin_db"] for r in done]
+    archs = sorted({r["search_native"]["architecture"] for r in done})
+    # flat top-level = seed-0 run (docs/RESULTS.md layout)
+    if str(seeds[0]) in results["seeds"]:
+        results.update(results["seeds"][str(seeds[0])])
+    results["margin_db_per_seed"] = {str(s): results["seeds"][str(s)]
+                                     .get("margin_db") for s in seeds}
+    results["margin_db_mean"] = round(float(np.mean(margins)), 3)
+    results["margin_db_std"] = round(float(np.std(margins)), 3)
+    results["native_archs_across_seeds"] = archs
+    results["all_legs_agree_per_seed"] = {
+        str(s): len({results["seeds"][str(s)][f"search_{leg}"]["architecture"]
+                     for leg in ("native", "proxy", "ft")}) == 1
+        for s in seeds if f"search_ft" in results["seeds"].get(str(s), {})}
     with open(rpath, "w") as f:
         json.dump(results, f, indent=1)
-    log(json.dumps(results, indent=1))
-    log(f"searched {searched:.2f} dB vs best ablation {best_abl:.2f} dB "
-        f"(margin {results['margin_db']:+.2f} dB)")
+    log(f"margins per seed: {results['margin_db_per_seed']} -> "
+        f"{results['margin_db_mean']} ± {results['margin_db_std']} dB; "
+        f"native archs across seeds: {archs}")
 
 
 if __name__ == "__main__":
