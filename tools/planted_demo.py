@@ -157,8 +157,9 @@ def run_one_seed(seed: int, search_iters: int, isp_iters: int,
     for leg, cfg in (("native", "configs/planted_search.yaml"),
                      ("proxy", "configs/planted_search_proxy.yaml"),
                      ("ft", "configs/planted_search_ft.yaml")):
-        if res.get(f"search_{leg}", {}).get("iters") == search_iters:
-            log(f"seed {seed}: reusing cached {leg} search")
+        if (res.get(f"search_{leg}", {}).get("iters") or 0) >= search_iters:
+            log(f"seed {seed}: reusing cached {leg} search "
+                f"({res[f'search_{leg}']['iters']} iters)")
             continue
         log(f"seed {seed}: {leg} search ({search_iters} iters)...")
         opt = config.parse(cfg, is_train=True)
@@ -220,6 +221,11 @@ def main():
     ap.add_argument("--seeds", default="0,1,2",
                     help="comma-separated seed sweep (VERDICT r3 #4: the "
                          "margin is reported as mean±std across seeds)")
+    ap.add_argument("--search-iters", type=int, default=None,
+                    help="override the per-leg search budget (cached legs "
+                         "with >= this many iters are reused)")
+    ap.add_argument("--isp-iters", type=int, default=None,
+                    help="override the step-2 fixed-training budget")
     args = ap.parse_args()
 
     from reconfigisp_tpu.utils.cache import enable_persistent_cache
@@ -235,8 +241,8 @@ def main():
 
     scale = 0.1 if args.fast else 1.0
     pre_steps = max(int(3000 * scale), 200)
-    search_iters = max(int(1500 * scale), 60)
-    isp_iters = max(int(800 * scale), 60)
+    search_iters = args.search_iters or max(int(1500 * scale), 60)
+    isp_iters = args.isp_iters or max(int(800 * scale), 60)
 
     # ---- 0) module pretraining (shared across seeds, like the reference's
     # pretrained proxy bank) --------------------------------------------
@@ -257,6 +263,37 @@ def main():
 
     # ---- per-seed sweep ---------------------------------------------------
     seeds = [int(s) for s in args.seeds.split(",") if s != ""]
+
+    def aggregate():
+        """(Re)compute cross-seed aggregates over whatever seeds have
+        finished, so an interrupted sweep still leaves a coherent
+        artifact.  Flat top-level keys mirror the first seed's run
+        (docs/RESULTS.md layout)."""
+        done = [results["seeds"][str(s)] for s in seeds
+                if "margin_db" in results["seeds"].get(str(s), {})]
+        if not done:
+            return
+        margins = [r["margin_db"] for r in done]
+        archs = sorted({r["search_native"]["architecture"] for r in done})
+        if str(seeds[0]) in results["seeds"]:
+            results.update(results["seeds"][str(seeds[0])])
+        results["margin_db_per_seed"] = {
+            str(s): results["seeds"][str(s)].get("margin_db")
+            for s in seeds if str(s) in results["seeds"]}
+        results["margin_db_mean"] = round(float(np.mean(margins)), 3)
+        results["margin_db_std"] = round(float(np.std(margins)), 3)
+        results["native_archs_across_seeds"] = archs
+        results["all_legs_agree_per_seed"] = {
+            str(s): len({results["seeds"][str(s)]
+                         [f"search_{leg}"]["architecture"]
+                         for leg in ("native", "proxy", "ft")}) == 1
+            for s in seeds if "search_ft" in results["seeds"].get(str(s), {})}
+        with open(rpath, "w") as f:
+            json.dump(results, f, indent=1)
+        log(f"margins per seed: {results['margin_db_per_seed']} -> "
+            f"{results['margin_db_mean']} ± {results['margin_db_std']} dB; "
+            f"native archs across seeds: {archs}")
+
     for seed in seeds:
         skey = str(seed)
 
@@ -273,29 +310,7 @@ def main():
                       "step2_psnr", "margin_db") if k in results}
         results["seeds"][skey] = run_one_seed(
             seed, search_iters, isp_iters, prior, save)
-
-    # ---- aggregate --------------------------------------------------------
-    done = [results["seeds"][str(s)] for s in seeds
-            if "margin_db" in results["seeds"].get(str(s), {})]
-    margins = [r["margin_db"] for r in done]
-    archs = sorted({r["search_native"]["architecture"] for r in done})
-    # flat top-level = seed-0 run (docs/RESULTS.md layout)
-    if str(seeds[0]) in results["seeds"]:
-        results.update(results["seeds"][str(seeds[0])])
-    results["margin_db_per_seed"] = {str(s): results["seeds"][str(s)]
-                                     .get("margin_db") for s in seeds}
-    results["margin_db_mean"] = round(float(np.mean(margins)), 3)
-    results["margin_db_std"] = round(float(np.std(margins)), 3)
-    results["native_archs_across_seeds"] = archs
-    results["all_legs_agree_per_seed"] = {
-        str(s): len({results["seeds"][str(s)][f"search_{leg}"]["architecture"]
-                     for leg in ("native", "proxy", "ft")}) == 1
-        for s in seeds if f"search_ft" in results["seeds"].get(str(s), {})}
-    with open(rpath, "w") as f:
-        json.dump(results, f, indent=1)
-    log(f"margins per seed: {results['margin_db_per_seed']} -> "
-        f"{results['margin_db_mean']} ± {results['margin_db_std']} dB; "
-        f"native archs across seeds: {archs}")
+        aggregate()
 
 
 if __name__ == "__main__":

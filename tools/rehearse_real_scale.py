@@ -43,6 +43,7 @@ import glob
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -300,9 +301,13 @@ def run_s7_leg(root, iters, learn_iters):
 
 # ------------------------------------------------------------ OnePlus leg
 
-def build_oneplus_fixtures(root, n=2, seed=0):
+def build_oneplus_fixtures(root, n=2, seed=0, pretrain_iters=0):
     """3000x4000 10-bit mosaics + labelme JSONs + an 80-class darknet
-    weight binary produced by save_darknet_weights."""
+    weight binary produced by save_darknet_weights.
+
+    pretrain_iters > 0 additionally gives the criterion reducible
+    structure before freezing it (see pretrain_criterion); returns
+    (data_root, wpath, pretrain_stats)."""
     import cv2
     import jax
     from reconfigisp_tpu.yolo.cfg import yolov3_blocks
@@ -312,6 +317,7 @@ def build_oneplus_fixtures(root, n=2, seed=0):
     rng = np.random.default_rng(seed)
     data_root = os.path.join(root, "oneplus")
     os.makedirs(data_root, exist_ok=True)
+    scenes, boxes = [], []
     for i in range(n):
         scene = _smooth_scene(rng, H, W) * 0.35
         shapes = []
@@ -327,22 +333,106 @@ def build_oneplus_fixtures(root, n=2, seed=0):
         cv2.imwrite(os.path.join(data_root, f"{i:03d}.png"), mosaic)
         with open(os.path.join(data_root, f"{i:03d}.json"), "w") as f:
             json.dump({"shapes": shapes}, f)
+        scenes.append(scene)
+        boxes.append([(2, s["points"][0][0], s["points"][0][1],
+                       s["points"][1][0], s["points"][1][1])
+                      for s in shapes])  # "car" -> COCO class 2
 
     blocks = yolov3_blocks(num_classes=80)
     weights = init_yolo(jax.random.PRNGKey(0), blocks)
+    stats = None
+    if pretrain_iters:
+        weights, stats = pretrain_criterion(
+            blocks, weights, scenes, boxes, pretrain_iters)
     wpath = os.path.join(root, "yolov3.weights")
     save_darknet_weights(blocks, weights, wpath)
     log(f"OnePlus fixtures: {n} frames at {H}x{W}, 80-class darknet "
-        f"weights {os.path.getsize(wpath) / 1e6:.0f} MB")
-    return data_root, wpath
+        f"weights {os.path.getsize(wpath) / 1e6:.0f} MB"
+        + (f", criterion pretrained {pretrain_iters} iters" if stats
+           else " (random-init criterion)"))
+    return data_root, wpath, stats
+
+
+def pretrain_criterion(blocks, weights, scenes, boxes, iters,
+                       size=1024, lr=1e-3):
+    """Brief supervised pretrain of the frozen detection criterion.
+
+    The reference freezes RELEASED darknet weights
+    (/root/reference/codes/options/train/yolo_isp.yml `pretrain_yolo`);
+    this environment has zero egress, and round 3 showed that with a
+    RANDOM-init YOLOv3 the detection loss has essentially no reducible
+    structure for the ISP's few hyperparameters (probe moved 743414 ->
+    743411 over 200 iters).  The stand-in: train the SAME 80-class graph
+    on clean renderings of the fixture scenes + their labelme boxes at
+    the eval resolution, then freeze — after which "ISP training lowers
+    the detection loss" is a meaningful, observable property, as it is
+    for the reference's pretrained evaluator
+    (/root/reference/codes/models/darts_yolo_model.py:130-137)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from reconfigisp_tpu.yolo.net import apply_yolo
+    from reconfigisp_tpu.yolo.loss import yolo_loss
+    from reconfigisp_tpu.utils.optim import adam_init, adam_update
+
+    imgs, labs = [], []
+    for scene, shapes in zip(scenes, boxes):
+        h, w = scene.shape[:2]
+        rgb = cv2.resize(scene[..., ::-1], (size, size),
+                         interpolation=cv2.INTER_AREA)
+        lab = np.zeros((16, 6), np.float32)
+        for k, (cls, x0, y0, x1, y1) in enumerate(shapes[:16]):
+            lab[k] = [1.0, cls, (x0 + x1) / 2 / w, (y0 + y1) / 2 / h,
+                      (x1 - x0) / w, (y1 - y0) / h]
+        imgs.append(np.clip(rgb, 0, 1).astype(np.float32))
+        labs.append(lab)
+    x = jnp.asarray(np.stack(imgs))   # (N, S, S, 3) RGB in [0,1]
+    y = jnp.asarray(np.stack(labs))   # (N, 16, 6) [valid, cls, cxcywh]
+
+    @jax.jit
+    def step(w, st):
+        l, g = jax.value_and_grad(
+            lambda w_: yolo_loss(apply_yolo(w_, blocks, x), y, size))(w)
+        w, st = adam_update(w, g, st, lr=lr)
+        return w, st, l
+
+    st = adam_init(weights)
+    t0 = time.time()
+    first = compile_s = t1 = None
+    l = None
+    for i in range(iters):
+        weights, st, l = step(weights, st)
+        if i == 0:
+            first = float(l)  # blocks until ready
+            compile_s = time.time() - t0
+            t1 = time.time()
+        elif (i + 1) % 50 == 0:
+            log(f"  criterion pretrain {i + 1}/{iters} "
+                f"loss {float(l):.1f}")
+    final = float(l)
+    stats = {"iters": iters, "loss_first": round(first, 2),
+             "loss": round(final, 2),
+             "compile_s": round(compile_s, 2),
+             "steady_s_per_iter": round(
+                 (time.time() - t1) / max(1, iters - 1), 4)}
+    log(f"criterion pretrain: loss {first:.1f} -> {final:.1f} "
+        f"({stats['steady_s_per_iter']}s/iter @ {size}px)")
+    return weights, stats
 
 
 def run_yolo_leg(root, iters, learn_iters):
     from reconfigisp_tpu import config
     from reconfigisp_tpu.search.trainer import run_training
 
-    data_root, wpath = build_oneplus_fixtures(root)
+    # criterion pretrain budget: ~learn_iters/2 steps is enough to drive
+    # the 2-scene supervised loss down orders of magnitude (recorded in
+    # out["criterion_pretrain"] so the artifact shows the criterion is
+    # meaningful, not random)
+    data_root, wpath, pstats = build_oneplus_fixtures(
+        root, pretrain_iters=max(100, learn_iters // 2))
     out = {}
+    if pstats:
+        out["criterion_pretrain"] = pstats
 
     # --- detection-driven search (configs/yolo_search.yaml) ---
     # search smoke runs iters//4 (the full-YOLOv3 bilevel step is the
@@ -359,7 +449,10 @@ def run_yolo_leg(root, iters, learn_iters):
     log(f"yolo search ok: {out['search']}")
 
     # --- 512px fixed training at a LEARNING budget (configs/yolo_isp.yaml) ---
-    y_learn = max(4, learn_iters // 10)
+    # full learning budget (round 3 ran learn_iters//10 = 200 iters against
+    # a random-init criterion and could show no loss movement; with the
+    # pretrained criterion the probe decrease is the headline evidence)
+    y_learn = max(4, learn_iters)
     opt = config.parse("configs/yolo_isp.yaml", is_train=True)
     opt["datasets"]["train"]["dataroot"] = data_root
     opt["yolo"]["weights"] = wpath
