@@ -162,7 +162,18 @@ def run_one_seed(seed: int, search_iters: int, isp_iters: int,
                 f"({res[f'search_{leg}']['iters']} iters)")
             continue
         log(f"seed {seed}: {leg} search ({search_iters} iters)...")
-        opt = config.parse(cfg, is_train=True)
+        import yaml
+        with open(cfg) as f:
+            raw = yaml.safe_load(f)
+        if seed != 0:
+            # per-seed experiment dirs: with the config's shared name, a
+            # later seed silently RESUMES the earlier seed's checkpointed
+            # trajectory (resume restores alphas/weights, and a saved step
+            # >= max_iters returns immediately, i.e. "searches" in
+            # seconds).  Seed 0 keeps the original name so its round-3
+            # caches stay valid.
+            raw["name"] = f"{raw['name']}_seed{seed}"
+        opt = config.parse_dict(raw, is_train=True)
         opt["train"]["manual_seed"] = \
             (opt["train"].get("manual_seed") or 0) + seed
         t0 = time.time()
@@ -287,6 +298,18 @@ def main():
             str(s): len({results["seeds"][str(s)]
                          [f"search_{leg}"]["architecture"]
                          for leg in ("native", "proxy", "ft")}) == 1
+            for s in seeds if "search_ft" in results["seeds"].get(str(s), {})}
+
+        def _planted(a):  # the planted ops: path-denoise + Malvar-class
+            return a.startswith("Bayer_01") and (
+                "_Demosaic_03" in a or "_Demosaic_04" in a)
+        # op-level agreement: all three legs recover the PLANTED ops
+        # (denoise + high-quality demosaic); the trailing sRGB triplet is
+        # redundant (duplicated slots commute) and may differ across legs
+        results["all_legs_recover_planted_per_seed"] = {
+            str(s): all(_planted(results["seeds"][str(s)]
+                                 [f"search_{leg}"]["architecture"])
+                        for leg in ("native", "proxy", "ft"))
             for s in seeds if "search_ft" in results["seeds"].get(str(s), {})}
         with open(rpath, "w") as f:
             json.dump(results, f, indent=1)
