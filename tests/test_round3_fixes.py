@@ -324,7 +324,9 @@ class TestBenchRetry:
             calls["n"] += 1
             if calls["n"] < 3:
                 raise RuntimeError("UNAVAILABLE (simulated)")
-            return 123.0, 0.25
+            # (mps, mfu, mfu_xla, flops_per_frame) — bench.py's measure_tpu
+            # grew the compiler-reconciled MFU + per-frame FLOPs in round 4
+            return 123.0, 0.25, 0.26, 1.0e12
 
         monkeypatch.setenv("BENCH_TUNNEL_ATTEMPTS", "3")
         monkeypatch.setattr(bench, "measure_tpu", fake_measure)

@@ -1,0 +1,108 @@
+"""Round-5 fixes (VERDICT r4 weak #2): a run resumed already-complete must
+report its checkpointed metrics (not NaN), and the planted artifact must be
+strict JSON with no non-finite literals.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+from reconfigisp_tpu import config
+from reconfigisp_tpu.search.trainer import run_training
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+
+def _isp_opt(root, niter):
+    return config.parse_dict({
+        "name": "t_resume_metrics", "model": "isp",
+        "datasets": {"train": {"mode": "synthetic", "n": 16,
+                               "data_size": 16, "batch_size": 2}},
+        "network_G": {"architecture": "Bayer_02_Demosaic_02_sRGB_01"},
+        "train": {"lr_G": 1e-2, "pixel_criterion": "l2", "niter": niter,
+                  "manual_seed": 3},
+        "logger": {"print_freq": 100},
+    }, root=root)
+
+
+def _darts_opt(root, niter):
+    return config.parse_dict({
+        "name": "t_resume_metrics_darts", "model": "darts",
+        "datasets": {"train": {"mode": "synthetic", "n": 16,
+                               "data_size": 16, "batch_size": 2}},
+        "network_G": {"n_step": 1, "srgb_count": 3},
+        "train": {"lr_G": 1e-2, "lr_meta": 1e-3, "darts_order": 1,
+                  "pixel_criterion": "l2", "niter": niter,
+                  "manual_seed": 3},
+        "logger": {"print_freq": 100},
+    }, root=root)
+
+
+class TestResumeAlreadyComplete:
+    """VERDICT r4 weak #2a: a second invocation that resumes at
+    step >= max_iters executed zero iterations and returned run_training's
+    initial {"loss": nan} — which then overwrote a finite recorded result
+    downstream (experiments/planted seed-0 search_ft)."""
+
+    def test_isp_noop_resume_reports_trained_loss(self, tmp_path):
+        s1 = run_training(_isp_opt(str(tmp_path), 4))
+        assert np.isfinite(s1["loss"]) and s1["steps_run"] == 4
+        s2 = run_training(_isp_opt(str(tmp_path), 4))
+        assert s2["steps_run"] == 0
+        assert np.isfinite(s2["loss"])
+        assert np.isclose(s2["loss"], s1["loss"], rtol=1e-6)
+
+    def test_darts_noop_resume_reports_trained_loss(self, tmp_path):
+        s1 = run_training(_darts_opt(str(tmp_path), 3))
+        assert np.isfinite(s1["loss"]) and s1["steps_run"] == 3
+        assert s1["architecture"]
+        s2 = run_training(_darts_opt(str(tmp_path), 3))
+        assert s2["steps_run"] == 0
+        assert np.isfinite(s2["loss"]) and np.isfinite(s2["val_loss"])
+        assert np.isclose(s2["loss"], s1["loss"], rtol=1e-6)
+        assert s2["architecture"] == s1["architecture"]
+
+    def test_legacy_state_without_metrics_still_resumes(self, tmp_path):
+        """Pre-round-5 .state files carry extra=None; resume must not
+        crash, and the summary NaN (unavoidable there) is at least
+        labelled with steps_run=0 so callers can refuse it."""
+        from reconfigisp_tpu.utils import checkpoint
+        run_training(_isp_opt(str(tmp_path), 4))
+        # strip the metrics from the saved state, emulating a legacy file
+        import glob
+        state_dir = glob.glob(os.path.join(str(tmp_path), "**",
+                                           "training_state"),
+                              recursive=True)[0]
+        latest = checkpoint.latest_state(state_dir)
+        st = checkpoint.load_training_state(latest)
+        checkpoint.save_training_state(
+            state_dir, st["step"], epoch=st["epoch"], step=st["step"],
+            variables=st["variables"], opt_state=st["opt_state"])
+        s = run_training(_isp_opt(str(tmp_path), 4))
+        assert s["steps_run"] == 0  # callers key the refusal on this
+
+
+class TestPlantedArtifactHygiene:
+    """ADVICE r4: bare NaN literals made the committed artifact invalid
+    strict JSON; NaN cached legs were reused forever."""
+
+    def test_sanitize_strips_non_finite(self, tmp_path):
+        import planted_demo as pd
+        obj = {"a": float("nan"), "b": [1.0, float("inf")],
+               "c": {"d": 2.5, "e": float("-inf")}}
+        p = str(tmp_path / "r.json")
+        pd._dump(obj, p)
+        with open(p) as f:
+            back = json.load(f)  # strict parse must succeed
+        assert back == {"a": None, "b": [1.0, None],
+                        "c": {"d": 2.5, "e": None}}
+
+    def test_finite_predicate(self):
+        import planted_demo as pd
+        assert pd._finite(1.0) and pd._finite(0)
+        assert not pd._finite(float("nan"))
+        assert not pd._finite(None)
+        assert not pd._finite("nan")

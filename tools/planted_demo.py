@@ -44,6 +44,30 @@ def log(*a):
     print("[planted_demo]", *a, flush=True)
 
 
+def _finite(x) -> bool:
+    try:
+        return x is not None and np.isfinite(float(x))
+    except (TypeError, ValueError):
+        return False
+
+
+def _sanitize(o):
+    """Replace non-finite floats with None so the artifact is valid STRICT
+    json (ADVICE r4: bare NaN literals break jq/JSON.parse consumers)."""
+    if isinstance(o, dict):
+        return {k: _sanitize(v) for k, v in o.items()}
+    if isinstance(o, list):
+        return [_sanitize(v) for v in o]
+    if isinstance(o, float) and not np.isfinite(o):
+        return None
+    return o
+
+
+def _dump(obj, path):
+    with open(path, "w") as f:
+        json.dump(_sanitize(obj), f, indent=1, allow_nan=False)
+
+
 def eval_psnr(arch: str, state, n: int = 16, size: int = 128,
               seed: int = 99) -> float:
     """Held-out PSNR of a trained pipeline on fresh planted frames."""
@@ -157,14 +181,25 @@ def run_one_seed(seed: int, search_iters: int, isp_iters: int,
     for leg, cfg in (("native", "configs/planted_search.yaml"),
                      ("proxy", "configs/planted_search_proxy.yaml"),
                      ("ft", "configs/planted_search_ft.yaml")):
-        if (res.get(f"search_{leg}", {}).get("iters") or 0) >= search_iters:
-            log(f"seed {seed}: reusing cached {leg} search "
-                f"({res[f'search_{leg}']['iters']} iters)")
-            continue
+        cached = res.get(f"search_{leg}", {})
+        if (cached.get("iters") or 0) >= search_iters:
+            # a cached leg with non-finite loss is NOT reusable evidence
+            # (ADVICE r4: a NaN result was being reused forever) — re-run it
+            if _finite(cached.get("loss")) and _finite(cached.get("val_loss")):
+                log(f"seed {seed}: reusing cached {leg} search "
+                    f"({cached['iters']} iters)")
+                continue
+            log(f"seed {seed}: cached {leg} search has non-finite metrics "
+                f"-> re-running")
         log(f"seed {seed}: {leg} search ({search_iters} iters)...")
         import yaml
         with open(cfg) as f:
             raw = yaml.safe_load(f)
+        if (cached.get("iters") or 0) >= search_iters:
+            # re-running a completed-but-non-finite leg: a stale experiment
+            # dir would no-op resume at step >= max_iters; archive it so the
+            # leg actually re-executes (VERDICT r4 weak #2b)
+            raw.setdefault("train", {})["resume"] = False
         if seed != 0:
             # per-seed experiment dirs: with the config's shared name, a
             # later seed silently RESUMES the earlier seed's checkpointed
@@ -178,6 +213,13 @@ def run_one_seed(seed: int, search_iters: int, isp_iters: int,
             (opt["train"].get("manual_seed") or 0) + seed
         t0 = time.time()
         summary = run_training(opt, max_iters=search_iters)
+        if (summary.get("steps_run") == 0 and _finite(cached.get("loss"))
+                and not _finite(summary.get("loss"))):
+            # a no-op resume (checkpoint already at max_iters) must never
+            # overwrite a finite recorded result (VERDICT r4 weak #2b)
+            log(f"seed {seed}: {leg} search resumed already-complete with "
+                f"no metrics — keeping the recorded finite result")
+            continue
         res[f"search_{leg}"] = {
             "architecture": summary["architecture"],
             "loss": summary.get("loss"),
@@ -285,7 +327,14 @@ def main():
         if not done:
             return
         margins = [r["margin_db"] for r in done]
-        archs = sorted({r["search_native"]["architecture"] for r in done})
+        # architectures from EVERY seed that searched, finished or not
+        # (ADVICE r4: margin-gated collection hid a differing mid-sweep
+        # arch, overstating cross-seed agreement)
+        archs = sorted({r["search_native"]["architecture"]
+                        for r in results["seeds"].values()
+                        if "search_native" in r})
+        results["seeds_finished"] = len(done)
+        results["seeds_pending"] = len(seeds) - len(done)
         if str(seeds[0]) in results["seeds"]:
             results.update(results["seeds"][str(seeds[0])])
         results["margin_db_per_seed"] = {
@@ -311,8 +360,7 @@ def main():
                                  [f"search_{leg}"]["architecture"])
                         for leg in ("native", "proxy", "ft"))
             for s in seeds if "search_ft" in results["seeds"].get(str(s), {})}
-        with open(rpath, "w") as f:
-            json.dump(results, f, indent=1)
+        _dump(results, rpath)
         log(f"margins per seed: {results['margin_db_per_seed']} -> "
             f"{results['margin_db_mean']} ± {results['margin_db_std']} dB; "
             f"native archs across seeds: {archs}")
@@ -322,8 +370,7 @@ def main():
 
         def save(res, skey=skey):
             results["seeds"][skey] = res
-            with open(rpath, "w") as f:
-                json.dump(results, f, indent=1)
+            _dump(results, rpath)
 
         prior = results["seeds"].get(skey, {})
         # seed-0 back-compat: adopt a pre-sweep flat artifact as seed 0
