@@ -106,3 +106,30 @@ class TestPlantedArtifactHygiene:
         assert not pd._finite(float("nan"))
         assert not pd._finite(None)
         assert not pd._finite("nan")
+
+
+class TestAblationDedupe:
+    """VERDICT r4 weak #5: skipping one of several DUPLICATE sRGB ops
+    yields distinct strings that execute the same pipeline — the ablation
+    table was triple-counting a single sRGB ablation."""
+
+    def test_duplicate_srgb_ops_yield_one_skip_ablation(self):
+        import planted_demo as pd
+        abl = pd.ablations_of("Bayer_01_Demosaic_03_sRGB_13_13_13")
+        drops = {k: v for k, v in abl.items() if k.startswith("drop_srgb")}
+        assert len(drops) == 1, drops  # 10_13_13 == 13_10_13 == 13_13_10
+        assert set(abl) == {"no_denoise", "nearest_demosaic",
+                            "drop_srgb_step2"}
+
+    def test_two_duplicates_yield_two_skip_ablations(self):
+        import planted_demo as pd
+        abl = pd.ablations_of("Bayer_01_Demosaic_03_sRGB_13_13_04")
+        drops = {k: v for k, v in abl.items() if k.startswith("drop_srgb")}
+        # dropping either 13 -> 13_04 (one entry); dropping 04 -> 13_13
+        assert len(drops) == 2, drops
+
+    def test_distinct_ops_keep_all_ablations(self):
+        import planted_demo as pd
+        abl = pd.ablations_of("Bayer_01_Demosaic_03_sRGB_04_13_11")
+        drops = {k: v for k, v in abl.items() if k.startswith("drop_srgb")}
+        assert len(drops) == 3, drops

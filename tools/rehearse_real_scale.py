@@ -354,7 +354,7 @@ def build_oneplus_fixtures(root, n=2, seed=0, pretrain_iters=0):
 
 
 def pretrain_criterion(blocks, weights, scenes, boxes, iters,
-                       size=1024, lr=1e-3):
+                       size=1024, lr=5e-4, warmup=50, clip_norm=10.0):
     """Brief supervised pretrain of the frozen detection criterion.
 
     The reference freezes RELEASED darknet weights
@@ -390,10 +390,21 @@ def pretrain_criterion(blocks, weights, scenes, boxes, iters,
     y = jnp.asarray(np.stack(labs))   # (N, 16, 6) [valid, cls, cxcywh]
 
     @jax.jit
-    def step(w, st):
+    def step(w, st, it):
         l, g = jax.value_and_grad(
             lambda w_: yolo_loss(apply_yolo(w_, blocks, x), y, size))(w)
-        w, st = adam_update(w, g, st, lr=lr)
+        # a random-init 53-conv darknet at 1024 px blows up under raw
+        # Adam(1e-3) (round-5 run: loss 1.1e6 -> 1.1e8 by iter 150) —
+        # global-norm clipping + linear warmup + cosine decay keep the
+        # descent monotone so the frozen criterion is actually trained
+        gnorm = jnp.sqrt(sum(jnp.sum(v * v)
+                             for v in jax.tree.leaves(g)))
+        g = jax.tree.map(
+            lambda v: v * jnp.minimum(1.0, clip_norm / (gnorm + 1e-12)), g)
+        frac = jnp.clip((it + 1) / max(1, warmup), 0.0, 1.0)
+        decay = 0.5 * (1 + jnp.cos(jnp.pi * jnp.clip(
+            (it - warmup) / max(1, iters - warmup), 0.0, 1.0)))
+        w, st = adam_update(w, g, st, lr=lr * frac * (0.1 + 0.9 * decay))
         return w, st, l
 
     st = adam_init(weights)
@@ -401,7 +412,7 @@ def pretrain_criterion(blocks, weights, scenes, boxes, iters,
     first = compile_s = t1 = None
     l = None
     for i in range(iters):
-        weights, st, l = step(weights, st)
+        weights, st, l = step(weights, st, jnp.float32(i))
         if i == 0:
             first = float(l)  # blocks until ready
             compile_s = time.time() - t0
@@ -424,12 +435,12 @@ def run_yolo_leg(root, iters, learn_iters):
     from reconfigisp_tpu import config
     from reconfigisp_tpu.search.trainer import run_training
 
-    # criterion pretrain budget: ~learn_iters/2 steps is enough to drive
-    # the 2-scene supervised loss down orders of magnitude (recorded in
-    # out["criterion_pretrain"] so the artifact shows the criterion is
-    # meaningful, not random)
+    # criterion pretrain budget: ~learn_iters steps at ~0.1 s/iter is a
+    # couple of minutes and drives the 2-scene supervised loss down orders
+    # of magnitude (recorded in out["criterion_pretrain"] so the artifact
+    # shows the criterion is meaningful, not random)
     data_root, wpath, pstats = build_oneplus_fixtures(
-        root, pretrain_iters=max(100, learn_iters // 2))
+        root, pretrain_iters=max(300, learn_iters))
     out = {}
     if pstats:
         out["criterion_pretrain"] = pstats
