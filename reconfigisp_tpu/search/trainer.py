@@ -571,6 +571,30 @@ def _loss_window_summary(loss_hist: list) -> dict:
             "loss_tail_mean": round(float(np.mean(loss_hist[-w:])), 6)}
 
 
+def _val_window_summary(val_hist: list) -> dict:
+    """Same head/tail windows over the bilevel VAL loss — the quantity the
+    alpha update actually optimizes (VERDICT r4 #6: real-scale search
+    evidence needs a decreasing val-loss window, not just train loss)."""
+    if len(val_hist) < 4:
+        return {}
+    w = max(2, len(val_hist) // 10)
+    return {"val_loss_head_mean": round(float(np.mean(val_hist[:w])), 6),
+            "val_loss_tail_mean": round(float(np.mean(val_hist[-w:])), 6)}
+
+
+def _alpha_gap_summary(alphas: dict) -> dict:
+    """Per-slot architecture-confidence evidence: softmax the slot alphas
+    and report top-prob minus MEDIAN-prob.  At init (uniform alphas) the
+    gap is 0; a search that has actually separated operators shows a
+    nontrivial gap in the slots that matter (VERDICT r4 #6)."""
+    gaps = {}
+    for slot, arr in alphas.items():
+        p = np.asarray(jax.nn.softmax(jnp.asarray(arr)))
+        gaps[slot] = round(float(np.max(p) - np.median(p)), 4)
+    return {"alpha_top_minus_median": gaps,
+            "alpha_gap_max": max(gaps.values()) if gaps else 0.0}
+
+
 def _probe_access_slack(opt: dict, step_idx: int, n_probe: int = 2) -> int:
     """Crop-counter slack for resume: the val probe draws dataset[0..n-1]
     once at construction and once per val_freq firing, on top of the
@@ -732,6 +756,7 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
         iter_times: list = []
         first_loss = None
         loss_hist: list = []
+        val_hist: list = []
         t0 = time.time()
         for (tb, vb) in zip(train_loader, val_loader):
             if trainer.step_idx >= niter:
@@ -750,6 +775,8 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
             iter_times.append(time.time() - t_step)
             if np.isfinite(logs.get("loss", np.nan)):
                 loss_hist.append(float(logs["loss"]))
+            if np.isfinite(logs.get("val_loss", np.nan)):
+                val_hist.append(float(logs["val_loss"]))
             if first_loss is None and np.isfinite(logs.get("loss", np.nan)):
                 first_loss = float(logs["loss"])
             if trainer.step_idx % print_freq == 0:
@@ -783,7 +810,9 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
         summary = {"architecture": arch, **logs,
                    "steps_run": trainer.step_idx - resumed_step,
                    **_timing_summary(iter_times),
-                   **_loss_window_summary(loss_hist)}
+                   **_loss_window_summary(loss_hist),
+                   **_val_window_summary(val_hist),
+                   **_alpha_gap_summary(trainer.variables["alphas"])}
         if first_loss is not None:
             summary["loss_first"] = first_loss
         if paths.get("models") and main_proc:

@@ -133,3 +133,18 @@ class TestAblationDedupe:
         abl = pd.ablations_of("Bayer_01_Demosaic_03_sRGB_04_13_11")
         drops = {k: v for k, v in abl.items() if k.startswith("drop_srgb")}
         assert len(drops) == 3, drops
+
+
+class TestSearchEvidenceSummary:
+    """VERDICT r4 #6: search summaries must carry val-loss head/tail
+    windows and a per-slot alpha gap so real-scale legs can show the
+    bilevel step optimizes (not just the train loss moving)."""
+
+    def test_darts_summary_has_val_window_and_alpha_gap(self, tmp_path):
+        s = run_training(_darts_opt(str(tmp_path), 8))
+        assert "val_loss_head_mean" in s and "val_loss_tail_mean" in s
+        assert np.isfinite(s["val_loss_head_mean"])
+        gaps = s["alpha_top_minus_median"]
+        assert set(gaps) == {"bayer", "demosaic", "step1"}  # n_step: 1
+        assert all(np.isfinite(v) and v >= 0 for v in gaps.values())
+        assert s["alpha_gap_max"] == max(gaps.values())

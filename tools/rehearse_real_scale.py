@@ -72,7 +72,11 @@ def _phase(summary: dict, iters: int, leg: str, phase: str) -> dict:
     wall-clock of the reference budget at the measured steady rate."""
     out = {"iters": iters}
     for k in ("architecture", "loss_first", "loss", "compile_s",
-              "steady_s_per_iter"):
+              "steady_s_per_iter", "loss_head_mean", "loss_tail_mean",
+              "val_loss_head_mean", "val_loss_tail_mean",
+              "alpha_top_minus_median", "alpha_gap_max",
+              "probe_loss_start", "probe_loss_final",
+              "val_psnr_start", "val_psnr_final", "steps_run"):
         if summary.get(k) is not None:
             out[k] = summary[k]
     budget = REF_BUDGETS.get((leg, phase))
@@ -171,7 +175,7 @@ def _fresh(opt):
     return opt
 
 
-def run_sid_leg(root, iters, learn_iters):
+def run_sid_leg(root, iters, learn_iters, phases=("search", "isp", "test")):
     from reconfigisp_tpu import config
     from reconfigisp_tpu.search.trainer import run_training
 
@@ -179,34 +183,37 @@ def run_sid_leg(root, iters, learn_iters):
     out = {}
 
     # --- search (configs/SID_search.yaml) ---
-    opt = config.parse("configs/SID_search.yaml", is_train=True)
-    opt["datasets"]["train"]["dataroot"] = train_root
-    opt["dist"] = False           # one real chip in this environment
-    _fresh(opt)
-    s = run_training(opt, max_iters=iters)
-    out["search"] = _phase(s, iters, "sid", "search")
-    log(f"SID search ok: {out['search']}")
+    if "search" in phases:
+        opt = config.parse("configs/SID_search.yaml", is_train=True)
+        opt["datasets"]["train"]["dataroot"] = train_root
+        opt["dist"] = False       # one real chip in this environment
+        _fresh(opt)
+        s = run_training(opt, max_iters=iters)
+        out["search"] = _phase(s, iters, "sid", "search")
+        log(f"SID search ok: {out['search']}")
 
     # --- fixed training at a LEARNING budget (configs/SID_isp.yaml) ---
-    opt = config.parse("configs/SID_isp.yaml", is_train=True)
-    opt["datasets"]["train"]["dataroot"] = train_root
-    _fresh(opt)
-    s = run_training(opt, max_iters=learn_iters)
-    out["isp"] = _phase(s, learn_iters, "sid", "isp")
-    ckpt = _latest_ckpt("experiments/SID_isp/models/*_G.ckpt")
-    log(f"SID isp ok: {out['isp']} -> {ckpt}")
+    if "isp" in phases:
+        opt = config.parse("configs/SID_isp.yaml", is_train=True)
+        opt["datasets"]["train"]["dataroot"] = train_root
+        _fresh(opt)
+        s = run_training(opt, max_iters=learn_iters)
+        out["isp"] = _phase(s, learn_iters, "sid", "isp")
+        log(f"SID isp ok: {out['isp']}")
 
     # --- tiled full-frame test (configs/SID_test.yaml) ---
-    import yaml as _yaml
-    with open("configs/SID_test.yaml") as f:
-        topt = _yaml.safe_load(f)
-    topt["datasets"]["test"]["dataroot"] = test_root
-    topt["path"]["pretrain_model_G"] = ckpt
-    tpath = os.path.join(root, "SID_test_rehearsal.yaml")
-    with open(tpath, "w") as f:
-        _yaml.safe_dump(topt, f)
-    out["test"] = _run_test_cli(tpath)
-    log(f"SID tiled test ok: {out['test']}")
+    if "test" in phases:
+        ckpt = _latest_ckpt("experiments/SID_isp/models/*_G.ckpt")
+        import yaml as _yaml
+        with open("configs/SID_test.yaml") as f:
+            topt = _yaml.safe_load(f)
+        topt["datasets"]["test"]["dataroot"] = test_root
+        topt["path"]["pretrain_model_G"] = ckpt
+        tpath = os.path.join(root, "SID_test_rehearsal.yaml")
+        with open(tpath, "w") as f:
+            _yaml.safe_dump(topt, f)
+        out["test"] = _run_test_cli(tpath)
+        log(f"SID tiled test ok: {out['test']}")
     return out
 
 
@@ -527,6 +534,10 @@ def main():
                     help="learning budget for the fixed-pipeline phases "
                          "(yolo uses a tenth of this)")
     ap.add_argument("--legs", default="sid,s7,yolo")
+    ap.add_argument("--phases", default="search,isp,test",
+                    help="phase subset for the sid leg (e.g. 'search' to "
+                         "extend only the search evidence; results merge "
+                         "into the existing leg entry)")
     args = ap.parse_args()
 
     from reconfigisp_tpu.utils.cache import enable_persistent_cache
@@ -541,7 +552,9 @@ def main():
             results = json.load(f)
     legs = args.legs.split(",")
     if "sid" in legs:
-        results["sid"] = run_sid_leg(args.root, args.iters, args.learn_iters)
+        out = run_sid_leg(args.root, args.iters, args.learn_iters,
+                          phases=tuple(args.phases.split(",")))
+        results["sid"] = {**results.get("sid", {}), **out}
         with open(rpath, "w") as f:
             json.dump(results, f, indent=1)
     if "s7" in legs:
