@@ -100,6 +100,11 @@ class Loader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
+        # bind BEFORE yielding: at interpreter shutdown module globals may
+        # already be None when generator cleanup runs this finally block,
+        # and `except queue.Empty` would raise "catching classes that do
+        # not inherit from BaseException"
+        empty_exc = queue.Empty
         try:
             while True:
                 yield q.get()
@@ -107,7 +112,7 @@ class Loader:
             stop.set()
             try:  # unblock a producer waiting on a full queue
                 q.get_nowait()
-            except queue.Empty:
+            except empty_exc:
                 pass
 
 
