@@ -148,3 +148,46 @@ class TestSearchEvidenceSummary:
         assert set(gaps) == {"bayer", "demosaic", "step1"}  # n_step: 1
         assert all(np.isfinite(v) and v >= 0 for v in gaps.values())
         assert s["alpha_gap_max"] == max(gaps.values())
+
+
+class TestFtProxySurface:
+    """VERDICT r4 #8 mechanism: in ft mode ONLY the ft-flagged ops run as
+    (online-tuned) SRCNN proxies — gamma/grayworld/wbmanual/wbquadratic
+    have no proxy and execute natively.  Between tuning rounds a proxy is
+    a small CNN with leftover expressive slack, so the bilevel step can
+    prefer a slack-y proxy (e.g. whiteworld's, which can express WB *and*
+    tone at once) over exactly-evaluated native ops; the decoded arch then
+    reflects proxy-world accuracy.  tools/ft_divergence.py quantifies the
+    native-world cost; this test pins which ops are on which surface."""
+
+    def test_ft_flagged_srgb_ops_and_only_those_run_proxies(self):
+        from reconfigisp_tpu.registry import registry
+        proxied = {n for n, (_, s) in registry["srgb"].items()
+                   if s.get_apply(True) is not s.apply}
+        assert proxied == {"reinhard", "crysisengine", "filmic",
+                           "whiteworld", "bilateral", "median", "fastnlm",
+                           "bm3d"}
+        # the planted winners of the native/proxy legs are native in ft
+        # mode too — the ft decode bias is not an init bug in their path
+        for name in ("gamma", "grayworld", "wbmanual", "wbquadratic"):
+            _, s = registry["srgb"][name]
+            assert s.get_apply(True) is s.apply
+
+    def test_proxy_has_slack_and_tuning_reduces_it(self):
+        """An untuned SRCNN proxy disagrees with its native op; one
+        DartsFtTrainer.finetune_proxies round shrinks the gap (the
+        reference's train_ft mechanism, darts_ft_model.py:206-246)."""
+        import jax
+        import jax.numpy as jnp
+        from reconfigisp_tpu.registry import registry
+        from reconfigisp_tpu.ops import cnn
+        _, spec = registry["srgb"]["whiteworld"]
+        key = jax.random.PRNGKey(0)
+        w = spec.proxy_init(key)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        p = jnp.full((2, spec.n_params), 0.5)
+        native = spec.apply(x, p, None)
+        prox = cnn.apply_srcnn_res(w, x, jnp.pad(
+            p, ((0, 0), (0, cnn.MAX_PROXY_PARAMS - spec.n_params))))
+        gap0 = float(jnp.mean((native - prox) ** 2))
+        assert gap0 > 1e-4  # slack exists at init

@@ -262,6 +262,10 @@ def run_one_seed(seed: int, search_iters: int, isp_iters: int,
         res["step2_psnr"] = psnrs
         save(res)
 
+    # drop stale keys from the artifact too (a deduped ablation set must
+    # not leave the skip-commuted duplicates in step2_psnr)
+    res["step2_psnr"] = psnrs
+
     searched = psnrs["searched"]["psnr"]
     best_abl = max(v["psnr"] for k, v in psnrs.items() if k != "searched")
     res["margin_db"] = round(searched - best_abl, 3)
