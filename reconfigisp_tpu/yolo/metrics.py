@@ -37,13 +37,24 @@ def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def non_max_suppression(boxes_xywh: np.ndarray, conf: np.ndarray,
                         cls_probs: np.ndarray, conf_thres: float = 0.5,
-                        nms_thres: float = 0.4) -> np.ndarray:
+                        nms_thres: float = 0.4,
+                        max_dets: int = 500) -> np.ndarray:
     """One image -> (D, 7) [x1,y1,x2,y2,conf,cls_conf,cls]
-    (reference util_yolo.py:245-284: greedy, score-weighted box merge)."""
+    (reference util_yolo.py:245-284: greedy, score-weighted box merge).
+
+    conf_thres 0.5 matches the reference's *rendering* path; mAP
+    evaluation ranks ALL detections, so eval configs pass a low
+    threshold (the upstream the reference vendored util_yolo from,
+    eriklindernoren/PyTorch-YOLOv3, evaluates mAP at conf 0.001 and
+    renders at 0.5).  max_dets caps the candidates entering the O(D^2)
+    greedy merge at the top-confidence max_dets."""
     score = conf
     keep = score >= conf_thres
     if not keep.any():
         return np.zeros((0, 7), np.float32)
+    if int(keep.sum()) > max_dets:
+        kth = np.sort(score[keep])[-max_dets]
+        keep = keep & (score >= kth)
     boxes = xywh2xyxy(boxes_xywh[keep])
     conf = conf[keep]
     cls_conf = cls_probs[keep].max(axis=1)

@@ -413,15 +413,26 @@ def pretrain_criterion(blocks, weights, scenes, boxes, iters,
                          interpolation=cv2.INTER_AREA)
         imgs.append(np.clip(rgb, 0, 1).astype(np.float32))
         labs.append(label_rows(shapes, 0, 0, w, h))
-        for oy, ox in ((0, 0), (0, w - size), (h - size, 0),
-                       (h - size, w - size),
-                       ((h - size) // 2, (w - size) // 2)):
-            tile = scene[oy:oy + size, ox:ox + size, ::-1]
+        for vi, (oy, ox) in enumerate(((0, 0), (0, w - size),
+                                       (h - size, 0), (h - size, w - size),
+                                       ((h - size) // 2, (w - size) // 2))):
+            oy, ox = oy // 2 * 2, ox // 2 * 2  # RGGB-aligned
+            tile = scene[oy:oy + size, ox:ox + size]
             lab = label_rows(shapes, ox, oy, size, size)
             if not lab[:, 0].any():
                 continue  # a tile with no surviving boxes teaches nothing
-            imgs.append(np.clip(tile, 0, 1).astype(np.float32))
+            imgs.append(np.clip(tile[..., ::-1], 0, 1).astype(np.float32))
             labs.append(lab)
+            if vi == 4:
+                # one mosaic->Malvar re-render per scene: demosaic
+                # interpolation artifacts are part of what the frozen
+                # criterion will be shown by the ISP
+                from reconfigisp_tpu.ops import demosaic as dm
+                rerender = np.asarray(dm.demosaic_malvar(
+                    jnp.asarray(_mosaic(tile))[None, ..., None])[0])
+                imgs.append(np.clip(rerender[..., ::-1], 0, 1
+                                    ).astype(np.float32))
+                labs.append(lab)
     x = jnp.asarray(np.stack(imgs))   # (V, S, S, 3) RGB in [0,1]
     y = jnp.asarray(np.stack(labs))   # (V, 16, 6) [valid, cls, cxcywh]
     n_views = x.shape[0]
@@ -429,9 +440,23 @@ def pretrain_criterion(blocks, weights, scenes, boxes, iters,
         f"({len(scenes)} whole-frame + {n_views - len(scenes)} tiles)")
 
     @jax.jit
-    def step(w, st, it, xb, yb):
+    def step(w, st, it, xb, yb, key):
+        # photometric augmentation: WITHOUT it the 2-scene criterion
+        # memorizes its dozen views pixel-perfect (loss -> 0.0) and its
+        # objectness saturates to EXACTLY 0 on anything else — round-5
+        # run 2 measured top conf 0.000 even on a clean demosaiced tile
+        # of the SAME scene, hence mAP 0.  Noise + per-channel gain +
+        # gamma jitter force feature-based detection that survives the
+        # ISP's rendering.
+        kn, kg, kp = jax.random.split(key, 3)
+        gain = jax.random.uniform(kg, (xb.shape[0], 1, 1, 3), minval=0.85,
+                                  maxval=1.15)
+        gamma = jax.random.uniform(kp, (xb.shape[0], 1, 1, 1), minval=0.8,
+                                   maxval=1.25)
+        xa = jnp.clip(xb * gain, 0.0, 1.0) ** gamma
+        xa = xa + jax.random.normal(kn, xb.shape) * 0.02
         l, g = jax.value_and_grad(
-            lambda w_: yolo_loss(apply_yolo(w_, blocks, xb), yb, size))(w)
+            lambda w_: yolo_loss(apply_yolo(w_, blocks, xa), yb, size))(w)
         # a random-init 53-conv darknet at 1024 px blows up under raw
         # Adam(1e-3) (round-5 run: loss 1.1e6 -> 1.1e8 by iter 150) —
         # global-norm clipping + linear warmup + cosine decay keep the
@@ -451,10 +476,12 @@ def pretrain_criterion(blocks, weights, scenes, boxes, iters,
     first = compile_s = t1 = None
     l = None
     rng = np.random.default_rng(7)
+    aug_key = jax.random.PRNGKey(11)
     for i in range(iters):
         idx = rng.choice(n_views, size=2, replace=False)
+        aug_key, k = jax.random.split(aug_key)
         weights, st, l = step(weights, st, jnp.float32(i),
-                              x[jnp.asarray(idx)], y[jnp.asarray(idx)])
+                              x[jnp.asarray(idx)], y[jnp.asarray(idx)], k)
         if i == 0:
             first = float(l)  # blocks until ready
             compile_s = time.time() - t0
