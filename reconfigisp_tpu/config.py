@@ -58,6 +58,19 @@ def parse_dict(opt: dict, is_train: bool = True,
             "log": experiments_root,
             "val_images": os.path.join(experiments_root, "val_images"),
         })
+        # default pretrained module bank: the reference's IspUniversal
+        # hardcodes a default checkpoint path for EVERY CNN module
+        # (isp_universal.py:32-51 — path_bayer is an 800k-iter Path-Restore
+        # checkpoint) and `individual_module_paths: ~` means "use the
+        # default"; it never constructs a random CNN.  The TPU-native
+        # equivalent is the search/proxy_pretrain bank: when the option
+        # file names no pretrain_proxies and the shared default bank
+        # exists, install it.
+        if not paths.get("pretrain_proxies"):
+            default_bank = os.path.join(root, "experiments", "proxies",
+                                        "default.ckpt")
+            if os.path.exists(default_bank):
+                paths["pretrain_proxies"] = default_bank
         # debug-mode overrides (reference options.py:53-56)
         if "debug" in name:
             train = opt.setdefault("train", {})

@@ -191,3 +191,34 @@ class TestFtProxySurface:
             p, ((0, 0), (0, cnn.MAX_PROXY_PARAMS - spec.n_params))))
         gap0 = float(jnp.mean((native - prox) ** 2))
         assert gap0 > 1e-4  # slack exists at init
+
+
+class TestDefaultModuleBank:
+    """Reference parity (isp_universal.py:32-51): every CNN module has a
+    DEFAULT pretrained checkpoint and `individual_module_paths: ~` means
+    'use the default' — the reference never constructs a random CNN.
+    parse_dict installs the shared proxy_pretrain bank whenever an option
+    file names no pretrain_proxies and the bank exists."""
+
+    def test_default_bank_installed_when_present(self, tmp_path):
+        bank = tmp_path / "experiments" / "proxies" / "default.ckpt"
+        bank.parent.mkdir(parents=True)
+        bank.write_bytes(b"stub")
+        opt = config.parse_dict({"name": "t", "model": "isp"},
+                                root=str(tmp_path))
+        assert opt["path"]["pretrain_proxies"] == str(bank)
+
+    def test_explicit_setting_wins(self, tmp_path):
+        bank = tmp_path / "experiments" / "proxies" / "default.ckpt"
+        bank.parent.mkdir(parents=True)
+        bank.write_bytes(b"stub")
+        opt = config.parse_dict(
+            {"name": "t", "model": "isp",
+             "path": {"pretrain_proxies": "/elsewhere.ckpt"}},
+            root=str(tmp_path))
+        assert opt["path"]["pretrain_proxies"] == "/elsewhere.ckpt"
+
+    def test_no_bank_no_path(self, tmp_path):
+        opt = config.parse_dict({"name": "t", "model": "isp"},
+                                root=str(tmp_path))
+        assert not opt["path"]["pretrain_proxies"]

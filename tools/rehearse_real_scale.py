@@ -611,6 +611,24 @@ def main():
     from reconfigisp_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
+    # shared default module bank (config.parse_dict installs it wherever an
+    # option file names no pretrain_proxies — the reference's hardcoded
+    # default checkpoints, isp_universal.py:32-51).  Round-5 attribution:
+    # with the bank absent, fixed training ran path_bayer FROZEN AT RANDOM
+    # INIT; bypassing it (Bayer_02) trained S7 to 40.3 dB in 300 iters
+    # while the full arch was floored at ~15 dB.
+    bank = os.path.join("experiments", "proxies", "default.ckpt")
+    if not os.path.exists(bank):
+        from reconfigisp_tpu.search.proxy_pretrain import pretrain_modules
+        from reconfigisp_tpu.utils import checkpoint as _ckpt
+        log("pretraining the default module bank (one-time)...")
+        trained = pretrain_modules(steps=3000, noise_std=0.05,
+                                   log_every=500)
+        src = _ckpt.save_network(os.path.dirname(bank), "bank", "default",
+                                 trained)  # -> default_bank.ckpt
+        os.replace(src, bank)
+        log(f"default module bank -> {bank}")
+
     os.makedirs(args.root, exist_ok=True)
     results = {}
     rpath = "experiments/rehearsal/results.json"
