@@ -116,6 +116,24 @@ def _mosaic(bgr):
     return m
 
 
+def _letterbox(scene, desired):
+    """Clean-RGB analog of the OnePlus loader's geometry
+    (data/datasets.py:451-467): aspect-preserving resize into a
+    `desired`-square canvas, content band centered at an even `top`.
+    Returns (canvas BGR float32, (rh, rw, top)) so box coordinates map as
+    x*rw, y*rh + top — identical to the loader's label transform."""
+    import cv2
+    h, w = scene.shape[:2]
+    scale = desired / max(h, w)
+    th = int(round(h * scale / 2)) * 2
+    tw = int(round(w * scale / 2)) * 2
+    top = (desired - th) // 2 // 2 * 2
+    canvas = np.zeros((desired, desired, 3), np.float32)
+    canvas[top:top + th, :tw] = cv2.resize(
+        scene, (tw, th), interpolation=cv2.INTER_AREA)
+    return np.clip(canvas, 0, 1).astype(np.float32), (th / h, tw / w, top)
+
+
 # --------------------------------------------------------------- SID leg
 
 def build_sid_fixtures(root, n_train=2, n_test=1, seed=0):
@@ -357,6 +375,23 @@ def build_oneplus_fixtures(root, n=2, seed=0, pretrain_iters=0):
         f"weights {os.path.getsize(wpath) / 1e6:.0f} MB"
         + (f", criterion pretrained {pretrain_iters} iters" if stats
            else " (random-init criterion)"))
+    if stats is not None:
+        # self-check through the SAVED binary on the exact eval-geometry
+        # view: catches both save/load drift and train/eval geometry skew
+        # (round-5 run 2 would have failed this with top conf 0.000)
+        import jax.numpy as jnp
+        from reconfigisp_tpu.yolo.net import apply_yolo, load_darknet_weights
+        from reconfigisp_tpu.yolo.loss import decode_head
+        reloaded = load_darknet_weights(blocks, wpath)
+        canvas, _ = _letterbox(scenes[0], 1024)
+        heads = apply_yolo(reloaded, blocks,
+                           jnp.asarray(canvas[..., ::-1])[None])
+        top_conf = max(float(decode_head(h, a, 1024)[1].max())
+                       for h, a, _ in heads)
+        stats["selfcheck_top_conf"] = round(top_conf, 4)
+        log(f"criterion self-check (saved weights, clean eval view): "
+            f"top conf {top_conf:.3f}"
+            + ("" if top_conf > 0.5 else "  <-- WEAK: eval mAP will suffer"))
     return data_root, wpath, stats
 
 
@@ -382,62 +417,76 @@ def pretrain_criterion(blocks, weights, scenes, boxes, iters,
     from reconfigisp_tpu.yolo.loss import yolo_loss
     from reconfigisp_tpu.utils.optim import adam_init, adam_update
 
-    def label_rows(shapes, ox, oy, sw, sh):
-        """Boxes -> (16,6) [valid, cls, cx cy w h] in a view with origin
-        (ox,oy) and extent (sw,sh); boxes keeping < half their area in the
-        view are dropped (the OnePlusDetectionDataset IoU>=0.5 rule)."""
+    # The views must match the GEOMETRY the frozen criterion is actually
+    # shown.  OnePlusDetectionDataset (data/datasets.py:451-467) never
+    # feeds native-resolution pixels: it Bayer-resizes the whole mosaic
+    # aspect-preserving into a `desired`(=1024)-square letterboxed frame
+    # (content band centered at `top`), trains on `data_size`(=512) crops
+    # of THAT frame, and evals on the full letterboxed frame itself.
+    # Round-5 run 2 pretrained on square-SQUASHED whole frames plus
+    # native-res tiles — geometries the eval never produces — so the
+    # 2-scene criterion memorized those and emitted objectness 0.000 on
+    # the actual letterboxed eval view (mAP 0).  Here: per scene, the
+    # clean letterboxed frame + its mosaic->Malvar re-render (eval
+    # geometry), and per GT box a 512 crop of the letterbox (training
+    # geometry), trained alternately per size group.
+    def crop_labels(boxes_lb, r0, c0, s):
+        """Letterbox-coord boxes -> (16,6) labels for crop (r0,c0,s) with
+        the dataset's visibility>=0.5 drop rule (datasets.py:508-524)."""
         lab = np.zeros((16, 6), np.float32)
         k = 0
-        for cls, x0, y0, x1, y1 in shapes:
-            cx0, cy0 = max(x0, ox), max(y0, oy)
-            cx1, cy1 = min(x1, ox + sw), min(y1, oy + sh)
-            inter = max(0, cx1 - cx0) * max(0, cy1 - cy0)
-            if inter < 0.5 * (x1 - x0) * (y1 - y0) or k >= 16:
+        for cls, x0, y0, x1, y1 in boxes_lb:
+            xa, xb = x0 - c0, x1 - c0
+            ya, yb = y0 - r0, y1 - r0
+            xav, xbv = np.clip([xa, xb], 0, s - 1)
+            yav, ybv = np.clip([ya, yb], 0, s - 1)
+            area = (xb - xa) * (yb - ya)
+            vis = (xbv - xav) * (ybv - yav)
+            if area <= 0 or vis / area < 0.5 or k >= 16:
                 continue
-            lab[k] = [1.0, cls, (cx0 + cx1) / 2 / sw - ox / sw,
-                      (cy0 + cy1) / 2 / sh - oy / sh,
-                      (cx1 - cx0) / sw, (cy1 - cy0) / sh]
+            lab[k] = [1.0, cls, (xav + xbv) / 2 / s, (yav + ybv) / 2 / s,
+                      (xbv - xav) / s, (ybv - yav) / s]
             k += 1
         return lab
 
-    # views per scene: the whole-frame downscale (what a resized detector
-    # input looks like) PLUS native-resolution size x size tiles (what the
-    # tiled 1024 px eval and the 512 px crop training actually feed the
-    # frozen criterion — round-5 run 1: a criterion pretrained only on
-    # whole-frame downscales scored mAP 0 on native-res tiles, where every
-    # object is ~4x larger)
-    imgs, labs = [], []
+    from reconfigisp_tpu.ops import demosaic as dm
+
+    def malvar_rerender(bgr):
+        """Mosaic + Malvar-demosaic a clean view: the interpolation
+        artifacts are part of what the ISP will show the criterion."""
+        out = np.asarray(dm.demosaic_malvar(
+            jnp.asarray(_mosaic(bgr))[None, ..., None])[0])
+        return np.clip(out, 0, 1).astype(np.float32)
+
+    groups = {size: ([], []), size // 2: ([], [])}
     for scene, shapes in zip(scenes, boxes):
         h, w = scene.shape[:2]
-        rgb = cv2.resize(scene[..., ::-1], (size, size),
-                         interpolation=cv2.INTER_AREA)
-        imgs.append(np.clip(rgb, 0, 1).astype(np.float32))
-        labs.append(label_rows(shapes, 0, 0, w, h))
-        for vi, (oy, ox) in enumerate(((0, 0), (0, w - size),
-                                       (h - size, 0), (h - size, w - size),
-                                       ((h - size) // 2, (w - size) // 2))):
-            oy, ox = oy // 2 * 2, ox // 2 * 2  # RGGB-aligned
-            tile = scene[oy:oy + size, ox:ox + size]
-            lab = label_rows(shapes, ox, oy, size, size)
-            if not lab[:, 0].any():
-                continue  # a tile with no surviving boxes teaches nothing
-            imgs.append(np.clip(tile[..., ::-1], 0, 1).astype(np.float32))
-            labs.append(lab)
-            if vi == 4:
-                # one mosaic->Malvar re-render per scene: demosaic
-                # interpolation artifacts are part of what the frozen
-                # criterion will be shown by the ISP
-                from reconfigisp_tpu.ops import demosaic as dm
-                rerender = np.asarray(dm.demosaic_malvar(
-                    jnp.asarray(_mosaic(tile))[None, ..., None])[0])
-                imgs.append(np.clip(rerender[..., ::-1], 0, 1
-                                    ).astype(np.float32))
-                labs.append(lab)
-    x = jnp.asarray(np.stack(imgs))   # (V, S, S, 3) RGB in [0,1]
-    y = jnp.asarray(np.stack(labs))   # (V, 16, 6) [valid, cls, cxcywh]
-    n_views = x.shape[0]
-    log(f"criterion pretrain: {n_views} views "
-        f"({len(scenes)} whole-frame + {n_views - len(scenes)} tiles)")
+        canvas, (rh, rw, top) = _letterbox(scene, size)
+        boxes_lb = [(cls, x0 * rw, y0 * rh + top, x1 * rw, y1 * rh + top)
+                    for cls, x0, y0, x1, y1 in shapes]
+        lab = crop_labels(boxes_lb, 0, 0, size)
+        for view in (canvas, malvar_rerender(canvas)):
+            groups[size][0].append(view[..., ::-1])
+            groups[size][1].append(lab)
+        s2 = size // 2
+        for bi, (cls, x0, y0, x1, y1) in enumerate(boxes_lb):
+            r0 = int(np.clip((y0 + y1) / 2 - s2 / 2, 0, size - s2)) // 2 * 2
+            c0 = int(np.clip((x0 + x1) / 2 - s2 / 2, 0, size - s2)) // 2 * 2
+            lab2 = crop_labels(boxes_lb, r0, c0, s2)
+            if not lab2[:, 0].any():
+                continue
+            crop = canvas[r0:r0 + s2, c0:c0 + s2]
+            groups[s2][0].append(crop[..., ::-1])
+            groups[s2][1].append(lab2)
+            if bi == 0:
+                groups[s2][0].append(malvar_rerender(crop)[..., ::-1])
+                groups[s2][1].append(lab2)
+    data = {s: (jnp.asarray(np.stack(im)), jnp.asarray(np.stack(lb)))
+            for s, (im, lb) in groups.items() if im}
+    n_views = sum(v[0].shape[0] for v in data.values())
+    log("criterion pretrain: " + ", ".join(
+        f"{v[0].shape[0]} views @ {s}px" for s, v in sorted(data.items()))
+        + f" ({n_views} total, letterbox geometry)")
 
     @jax.jit
     def step(w, st, it, xb, yb, key):
@@ -455,8 +504,12 @@ def pretrain_criterion(blocks, weights, scenes, boxes, iters,
                                    maxval=1.25)
         xa = jnp.clip(xb * gain, 0.0, 1.0) ** gamma
         xa = xa + jax.random.normal(kn, xb.shape) * 0.02
+        # img_size from the batch itself: the loop alternates between the
+        # eval-geometry (size) and crop-geometry (size//2) view groups, one
+        # compiled program per shape
         l, g = jax.value_and_grad(
-            lambda w_: yolo_loss(apply_yolo(w_, blocks, xa), yb, size))(w)
+            lambda w_: yolo_loss(apply_yolo(w_, blocks, xa), yb,
+                                 xb.shape[1]))(w)
         # a random-init 53-conv darknet at 1024 px blows up under raw
         # Adam(1e-3) (round-5 run: loss 1.1e6 -> 1.1e8 by iter 150) —
         # global-norm clipping + linear warmup + cosine decay keep the
@@ -477,8 +530,11 @@ def pretrain_criterion(blocks, weights, scenes, boxes, iters,
     l = None
     rng = np.random.default_rng(7)
     aug_key = jax.random.PRNGKey(11)
+    sizes = sorted(data.keys())
     for i in range(iters):
-        idx = rng.choice(n_views, size=2, replace=False)
+        x, y = data[sizes[i % len(sizes)]]
+        nb = min(2, x.shape[0])
+        idx = rng.choice(x.shape[0], size=nb, replace=False)
         aug_key, k = jax.random.split(aug_key)
         weights, st, l = step(weights, st, jnp.float32(i),
                               x[jnp.asarray(idx)], y[jnp.asarray(idx)], k)
