@@ -62,6 +62,50 @@ class TestSidFixtures:
         assert float(s["noisy"].max()) <= 1.0
 
 
+class TestLetterboxGeometry:
+    def test_letterbox_matches_the_oneplus_loader_transform(self, tmp_path):
+        """The criterion-pretrain views must sit at the loader's geometry:
+        round-5 run 2 pretrained on square-squashed frames + native tiles
+        (geometries the eval never produces) and the memorizing 2-scene
+        criterion scored objectness 0.000 on the actual letterboxed eval
+        view (mAP 0).  Pin _letterbox == OnePlusDetectionDataset's resize/
+        pad/label transform."""
+        import cv2
+        import json
+        from reconfigisp_tpu.data.datasets import OnePlusDetectionDataset
+        tool = _load_tool()
+        rng = np.random.default_rng(5)
+        h, w, d = 600, 800, 256
+        scene = rng.uniform(0.1, 0.4, (h, w, 3)).astype(np.float32)
+        x0, y0, x1, y1 = 200, 150, 500, 390
+        scene[y0:y1, x0:x1] = rng.uniform(0.7, 1.0, 3)
+        cv2.imwrite(str(tmp_path / "000.png"),
+                    (np.clip(tool._mosaic(scene), 0, 1) * 1023
+                     ).astype(np.uint16))
+        with open(tmp_path / "000.json", "w") as f:
+            json.dump({"shapes": [{"label": "car",
+                                   "points": [[x0, y0], [x1, y1]]}]}, f)
+        ds = OnePlusDetectionDataset(str(tmp_path), data_size=d,
+                                     desired=d, is_train=False)
+        sample = ds[0]
+        lab = sample["label"][0]
+        assert lab[0] == 1.0 and lab[1] == 2.0
+
+        canvas, (rh, rw, top) = tool._letterbox(scene, d)
+        assert canvas.shape == (d, d, 3)
+        # content band sits exactly where the loader puts the mosaic band
+        assert float(np.abs(canvas[:top]).max()) == 0.0
+        band_rows = int(round(h * (d / max(h, w)) / 2)) * 2
+        assert float(np.abs(canvas[top + band_rows:]).max()) == 0.0
+        # the box's letterbox-coordinate center == the loader's label center
+        cx = ((x0 + x1) / 2 * rw) / d
+        cy = ((y0 + y1) / 2 * rh + top) / d
+        assert abs(cx - float(lab[2])) < 2.0 / d
+        assert abs(cy - float(lab[3])) < 2.0 / d
+        assert abs((x1 - x0) * rw / d - float(lab[4])) < 2.0 / d
+        assert abs((y1 - y0) * rh / d - float(lab[5])) < 2.0 / d
+
+
 class TestS7GrbgFabrication:
     def test_grbg_phase_shift_keeps_content_aligned(self):
         """The S7 fixtures fabricate GRBG by shifting the CFA PHASE only;
