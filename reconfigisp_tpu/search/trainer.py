@@ -436,6 +436,26 @@ class DartsFtTrainer(DartsTrainer):
         return logs
 
 
+def dist_mesh(batch_size: int):
+    """Mesh for `dist: true`, or None when sharding buys nothing.
+
+    The yml batch_size is GLOBAL (reference data/__init__.py:12-16 divides
+    it by world_size), so the data axis must divide it; run on more chips
+    than batch samples, the largest divisor of the batch is used instead
+    of every device.  With a single device (or batch 1) the sharded-jit
+    program is semantically plain jit, but the GSPMD partitioner still
+    runs over the whole program — on the fused 5-pass darts_yolo step
+    (verbatim yolo_search.yml, 256 px) that compile aborts the process on
+    both the CPU backend and the single-chip tunnel — so world size 1
+    falls back to serial; the >=2-device sharded path stays covered by
+    __graft_entry__.dryrun_multichip and tests/test_parallel.py."""
+    n = len(jax.devices())
+    data = max(k for k in range(1, n + 1) if batch_size % k == 0)
+    if n == 1 or data == 1:
+        return None
+    return meshlib.make_mesh(data) if data < n else meshlib.make_mesh()
+
+
 def make_yolo_criterion(blocks, yolo_weights, img_size: int,
                         **loss_kw):
     """Frozen-YOLOv3 detection objective (reference
@@ -634,16 +654,7 @@ def run_training(opt: dict, *, max_iters: Optional[int] = None,
     dataset = data_override or create_dataset(dataset_opt)
     batch_size = dataset_opt.get("batch_size", 4) or 4
 
-    mesh = None
-    if opt.get("dist"):
-        # the yml batch_size is GLOBAL (reference data/__init__.py:12-16
-        # divides it by world_size); the data axis must therefore divide
-        # it.  A verbatim `dist: true` yml (yolo_search.yml:6, batch 4)
-        # run on more chips than batch samples uses the largest divisor
-        # of the batch instead of every device.
-        n = len(jax.devices())
-        data = max(k for k in range(1, n + 1) if batch_size % k == 0)
-        mesh = meshlib.make_mesh(data) if data < n else meshlib.make_mesh()
+    mesh = dist_mesh(batch_size) if opt.get("dist") else None
     # rank-0-only checkpointing / probes in multi-host runs
     # (reference train.py:85,218,294)
     main_proc = jax.process_index() == 0

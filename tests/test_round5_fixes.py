@@ -222,3 +222,25 @@ class TestDefaultModuleBank:
         opt = config.parse_dict({"name": "t", "model": "isp"},
                                 root=str(tmp_path))
         assert not opt["path"]["pretrain_proxies"]
+
+
+class TestDistMeshSelection:
+    """dist: true resolves to a mesh only when it shards something:
+    world size 1 (or batch 1) is serial — the 1-device GSPMD-partitioned
+    compile of the fused darts_yolo step aborts the process (verbatim
+    yolo_search.yml on CPU and the single-chip tunnel)."""
+
+    def test_multi_device_batch_divisor(self):
+        from reconfigisp_tpu.search.trainer import dist_mesh
+        m = dist_mesh(4)          # conftest forces 8 CPU devices
+        assert m is not None and m.devices.size == 4
+        m = dist_mesh(8)
+        assert m is not None and m.devices.size == 8
+
+    def test_single_device_and_batch_one_are_serial(self, monkeypatch):
+        import jax
+        from reconfigisp_tpu.search import trainer
+        assert trainer.dist_mesh(1) is None  # batch 1: nothing to shard
+        one = [jax.devices()[0]]
+        monkeypatch.setattr(trainer.jax, "devices", lambda: one)
+        assert trainer.dist_mesh(4) is None  # world size 1: serial
