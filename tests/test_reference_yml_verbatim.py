@@ -144,19 +144,41 @@ TRAIN_YMLS = ["SID_isp.yml", "S7ISP_isp.yml", "yolo_isp.yml",
               "SID_search.yml", "S7ISP_search.yml", "yolo_search.yml"]
 
 
+_TRAIN_DRIVER = """
+import json, sys
+from reconfigisp_tpu import config
+from reconfigisp_tpu.search.trainer import run_training
+opt = config.parse(sys.argv[1], is_train=True, root=sys.argv[2])
+summary = run_training(opt, max_iters=2)
+print("VERBATIM_SUMMARY " + json.dumps(
+    {k: summary.get(k) for k in ("steps", "loss", "architecture")}))
+"""
+
+
 @run_verbatim
 @pytest.mark.parametrize("fname", TRAIN_YMLS)
 def test_train_yml_runs_verbatim(fname, tmp_path, sid_root, s7_root,
                                  oneplus_root):
-    from reconfigisp_tpu import config
-    from reconfigisp_tpu.search.trainer import run_training
-
+    """Each verbatim file drives 2 iterations of the identical program
+    (the verbatim niter, 80k-200k, is the reference's budget) in a
+    SUBPROCESS: the heaviest program here (yolo_search.yml's fused
+    5-pass darts_yolo step) executes fine as a standalone driver on both
+    backends but aborts C-level inside the pytest process environment
+    (torch + tensorboard + capture loaded by the wider session), so the
+    gate isolates each run the same way the test-yml half already
+    does."""
     path = _rewrite(os.path.join(REF_OPT, "train", fname), tmp_path,
                     _root_for(fname, sid_root, s7_root, oneplus_root))
-    opt = config.parse(path, is_train=True, root=str(tmp_path))
-    # the verbatim niter (80k-200k) is the reference's budget; the test
-    # drives 2 iterations of the identical program
-    summary = run_training(opt, max_iters=2)
+    proc = subprocess.run(
+        [sys.executable, "-c", _TRAIN_DRIVER, path, str(tmp_path)],
+        capture_output=True, text=True, timeout=3600,
+        env=dict(os.environ), cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("VERBATIM_SUMMARY ")]
+    assert line, proc.stdout[-2000:]
+    import json
+    summary = json.loads(line[-1].split(" ", 1)[1])
     assert summary["steps"] == 2
     assert np.isfinite(summary["loss"]), fname
     if "search" in fname:
