@@ -100,6 +100,63 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _device_plane_seconds(trace_dir: str, plane_match=None):
+    """Parse a jax.profiler xspace dump and return the device-side
+    execution time of the traced region in seconds, or None if no device
+    plane was emitted (CPU runs, or a PJRT plugin without profiling).
+
+    The device plane ("/device:TPU:N") carries per-line event streams;
+    the "XLA Modules" line holds one event per executed XLA program whose
+    duration is the device wall time of that dispatch INCLUDING
+    intra-module pipeline gaps — the honest MFU denominator.  We take the
+    line with the largest event-duration sum on the device plane (the
+    module line dominates the op line by construction), summed over the
+    traced region.
+    """
+    import glob as _glob
+    from jax.profiler import ProfileData
+
+    pbs = _glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                     recursive=True)
+    if not pbs:
+        return None
+    pd = ProfileData.from_file(max(pbs, key=os.path.getmtime))
+    if plane_match is None:
+        plane_match = lambda n: n.startswith("/device:") or "TPU" in n  # noqa: E731
+    best = 0.0
+    for plane in pd.planes:
+        if not plane_match(plane.name):
+            continue
+        for line in plane.lines:
+            tot = sum(e.duration_ns for e in line.events) / 1e9
+            best = max(best, tot)
+    return best if best > 0 else None
+
+
+def measure_trace_mfu(fwd, state, stack, flops_per_dispatch):
+    """Trace-derived MFU (the third derivation, VERDICT r4 #9): capture a
+    jax.profiler device trace of ONE dispatch and divide the analytic
+    FLOP count by the TPU plane's measured module-execution time.  Unlike
+    the wall-clock MFU this excludes host sync and the ~25 ms tunnel RTT,
+    so it bounds the on-device duty cycle from the hardware's own
+    timeline rather than from host-visible latency.
+    Returns (device_seconds, mfu) or (None, None)."""
+    import shutil
+    import tempfile
+    import jax
+
+    d = tempfile.mkdtemp(prefix="bench_trace_")
+    try:
+        with jax.profiler.trace(d):
+            float(fwd(state, stack))  # device->host true-completion dep
+        dev_s = _device_plane_seconds(d)
+        if dev_s is None:
+            return None, None
+        return dev_s, flops_per_dispatch / dev_s / PEAK_FLOPS
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # --------------------------------------------------------------- TPU measure
 
 def measure_tpu() -> float:
@@ -225,10 +282,24 @@ def measure_tpu() -> float:
                 f"undercount)")
         except Exception as e:  # pragma: no cover - backend-dependent
             log(f"cost_analysis unavailable: {e}")
+        mfu_trace = None
+        try:
+            trace_s, mfu_trace = measure_trace_mfu(
+                fwd, state, stacks[0], flops_per_dispatch)
+            if mfu_trace is not None:
+                log(f"device trace: {trace_s * 1e3:.1f} ms on-device per "
+                    f"{FPD}-frame dispatch -> mfu_trace {mfu_trace:.3f} "
+                    f"(wall-derived {mfu:.3f}; gap = host sync + tunnel "
+                    f"RTT hidden by pipelining in the wall figure)")
+            else:
+                log("device trace: no device plane emitted "
+                    "(profiling unsupported on this backend)")
+        except Exception as e:  # pragma: no cover - backend-dependent
+            log(f"device trace unavailable: {e}")
     log(f"tpu: best-of-2 pipelined {iters // 2}x{FPD}-frame dispatch groups "
         f"-> {mps:.1f} MP/s ({dt * 1e3:.1f} ms / 12MP frame, mfu {mfu:.3f}"
         + (f", mfu_xla {mfu_xla:.3f}" if mfu_xla is not None else "") + ")")
-    return mps, mfu, mfu_xla, flops_per_dispatch / FPD
+    return mps, mfu, mfu_xla, flops_per_dispatch / FPD, mfu_trace
 
 
 # ------------------------------------------------------------ torch baseline
@@ -302,7 +373,7 @@ def main():
     attempts = int(os.environ.get("BENCH_TUNNEL_ATTEMPTS", "3"))
     for i in range(attempts):
         try:
-            tpu_mps, mfu, mfu_xla, flops_per_frame = measure_tpu()
+            tpu_mps, mfu, mfu_xla, flops_per_frame, mfu_trace = measure_tpu()
             break
         except Exception as e:  # backend init / UNAVAILABLE
             log(f"TPU measurement attempt {i + 1}/{attempts} failed: {e}")
@@ -341,6 +412,8 @@ def main():
         "mfu": round(mfu, 4) if mfu == mfu else None,
         "mfu_xla_body_x_tripcount": round(mfu_xla, 4)
         if mfu_xla is not None else None,
+        "mfu_trace_device": round(mfu_trace, 4)
+        if mfu_trace is not None else None,
     }))
 
 

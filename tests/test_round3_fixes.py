@@ -324,9 +324,10 @@ class TestBenchRetry:
             calls["n"] += 1
             if calls["n"] < 3:
                 raise RuntimeError("UNAVAILABLE (simulated)")
-            # (mps, mfu, mfu_xla, flops_per_frame) — bench.py's measure_tpu
-            # grew the compiler-reconciled MFU + per-frame FLOPs in round 4
-            return 123.0, 0.25, 0.26, 1.0e12
+            # (mps, mfu, mfu_xla, flops_per_frame, mfu_trace) — bench.py's
+            # measure_tpu grew the compiler-reconciled MFU + per-frame
+            # FLOPs in round 4 and the trace-derived MFU in round 5
+            return 123.0, 0.25, 0.26, 1.0e12, 0.27
 
         monkeypatch.setenv("BENCH_TUNNEL_ATTEMPTS", "3")
         monkeypatch.setattr(bench, "measure_tpu", fake_measure)
@@ -336,6 +337,7 @@ class TestBenchRetry:
         out = _json.loads(capsys.readouterr().out)
         assert calls["n"] == 3
         assert out["value"] == 123.0 and out["mfu"] == 0.25
+        assert out["mfu_trace_device"] == 0.27
 
     def test_raises_after_exhausted_attempts(self, monkeypatch):
         bench = self._load_bench()

@@ -244,3 +244,42 @@ class TestDistMeshSelection:
         one = [jax.devices()[0]]
         monkeypatch.setattr(trainer.jax, "devices", lambda: one)
         assert trainer.dist_mesh(4) is None  # world size 1: serial
+
+
+class TestTraceMfu:
+    """VERDICT r4 #9: the trace-derived MFU leg.  bench._device_plane_seconds
+    parses a real jax.profiler xspace dump; on CPU no '/device:'/TPU plane
+    exists so the TPU bench path degrades to None, while a laxer plane
+    filter exercises the positive summation path on the CPU client plane."""
+
+    def _load_bench(self):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "bench_under_trace_test",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_parse_real_trace(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        bench = self._load_bench()
+        f = jax.jit(lambda x: jnp.tanh(x @ x))
+        x = jnp.ones((256, 256))
+        f(x).block_until_ready()
+        d = str(tmp_path / "trace")
+        with jax.profiler.trace(d):
+            f(x).block_until_ready()
+        # default (TPU) filter: CPU dump has no device plane -> None
+        assert bench._device_plane_seconds(d) is None
+        # the CPU client plane carries the dot_general event; summing it
+        # through the same code path yields a positive device time
+        dev_s = bench._device_plane_seconds(
+            d, plane_match=lambda n: "PjRtCpuClient" in n or "CPU" in n)
+        assert dev_s is not None and dev_s > 0
+
+    def test_no_dump_is_none(self, tmp_path):
+        bench = self._load_bench()
+        assert bench._device_plane_seconds(str(tmp_path)) is None

@@ -291,7 +291,7 @@ def build_s7_fixtures(root, n_train=2, n_test=1, seed=2):
     return train_root, test_root
 
 
-def run_s7_leg(root, iters, learn_iters):
+def run_s7_leg(root, iters, learn_iters, phases=("search", "isp", "test")):
     from reconfigisp_tpu import config
     from reconfigisp_tpu.search.trainer import run_training
 
@@ -299,38 +299,42 @@ def run_s7_leg(root, iters, learn_iters):
     out = {}
 
     # --- darts_ft search with online proxy tuning (S7ISP_search_ft.yaml) ---
-    opt = config.parse("configs/S7ISP_search_ft.yaml", is_train=True)
-    opt["datasets"]["train"]["dataroot"] = train_root
-    opt["dist"] = False
-    _fresh(opt)
-    # shrink the tuning interval so finetune_proxies actually fires in a
-    # smoke-sized budget
-    opt["proxy_ft_params"]["ft_interval"] = max(2, iters // 2)
-    opt["proxy_ft_params"]["ft_steps"] = 2
-    s = run_training(opt, max_iters=iters)
-    out["search_ft"] = _phase(s, iters, "s7", "search_ft")
-    log(f"S7 darts_ft search ok: {out['search_ft']}")
+    if "search" in phases:
+        opt = config.parse("configs/S7ISP_search_ft.yaml", is_train=True)
+        opt["datasets"]["train"]["dataroot"] = train_root
+        opt["dist"] = False
+        _fresh(opt)
+        # shrink the tuning interval so finetune_proxies fires several
+        # times inside the rehearsal budget (the reference re-tunes every
+        # ft_interval=100 iters over 100k, darts_ft_model.py:206)
+        opt["proxy_ft_params"]["ft_interval"] = max(2, min(50, iters // 2))
+        opt["proxy_ft_params"]["ft_steps"] = 2
+        s = run_training(opt, max_iters=iters)
+        out["search_ft"] = _phase(s, iters, "s7", "search_ft")
+        log(f"S7 darts_ft search ok: {out['search_ft']}")
 
     # --- 384px fixed training at a LEARNING budget (S7ISP_isp.yaml) ---
-    opt = config.parse("configs/S7ISP_isp.yaml", is_train=True)
-    opt["datasets"]["train"]["dataroot"] = train_root
-    _fresh(opt)
-    s = run_training(opt, max_iters=learn_iters)
-    out["isp"] = _phase(s, learn_iters, "s7", "isp")
-    ckpt = _latest_ckpt("experiments/S7ISP_isp/models/*_G.ckpt")
-    log(f"S7 isp ok: {out['isp']}")
+    if "isp" in phases:
+        opt = config.parse("configs/S7ISP_isp.yaml", is_train=True)
+        opt["datasets"]["train"]["dataroot"] = train_root
+        _fresh(opt)
+        s = run_training(opt, max_iters=learn_iters)
+        out["isp"] = _phase(s, learn_iters, "s7", "isp")
+        log(f"S7 isp ok: {out['isp']}")
 
     # --- 512/480 tiled full-frame eval (S7ISP_test.yaml) ---
-    import yaml as _yaml
-    with open("configs/S7ISP_test.yaml") as f:
-        topt = _yaml.safe_load(f)
-    topt["datasets"]["test"]["dataroot"] = test_root
-    topt["path"]["pretrain_model_G"] = ckpt
-    tpath = os.path.join(root, "S7_test_rehearsal.yaml")
-    with open(tpath, "w") as f:
-        _yaml.safe_dump(topt, f)
-    out["test"] = _run_test_cli(tpath)
-    log(f"S7 tiled test ok: {out['test']}")
+    if "test" in phases:
+        ckpt = _latest_ckpt("experiments/S7ISP_isp/models/*_G.ckpt")
+        import yaml as _yaml
+        with open("configs/S7ISP_test.yaml") as f:
+            topt = _yaml.safe_load(f)
+        topt["datasets"]["test"]["dataroot"] = test_root
+        topt["path"]["pretrain_model_G"] = ckpt
+        tpath = os.path.join(root, "S7_test_rehearsal.yaml")
+        with open(tpath, "w") as f:
+            _yaml.safe_dump(topt, f)
+        out["test"] = _run_test_cli(tpath)
+        log(f"S7 tiled test ok: {out['test']}")
     return out
 
 
@@ -668,7 +672,7 @@ def main():
                          "(yolo uses a tenth of this)")
     ap.add_argument("--legs", default="sid,s7,yolo")
     ap.add_argument("--phases", default="search,isp,test",
-                    help="phase subset for the sid/yolo legs (e.g. "
+                    help="phase subset for any leg (e.g. "
                          "'isp,test' to redo training+eval without the "
                          "search compile; results merge into the existing "
                          "leg entry)")
@@ -710,7 +714,9 @@ def main():
         with open(rpath, "w") as f:
             json.dump(results, f, indent=1)
     if "s7" in legs:
-        results["s7"] = run_s7_leg(args.root, args.iters, args.learn_iters)
+        out = run_s7_leg(args.root, args.iters, args.learn_iters,
+                         phases=tuple(args.phases.split(",")))
+        results["s7"] = {**results.get("s7", {}), **out}
         with open(rpath, "w") as f:
             json.dump(results, f, indent=1)
     if "yolo" in legs:
