@@ -346,7 +346,12 @@ def build_oneplus_fixtures(root, n=2, seed=0, pretrain_iters=0):
 
     pretrain_iters > 0 additionally gives the criterion reducible
     structure before freezing it (see pretrain_criterion); returns
-    (data_root, wpath, pretrain_stats)."""
+    (data_root, wpath, pretrain_stats).
+
+    The build is cached on (n, seed, pretrain_iters): a tunnel drop mid
+    search-leg otherwise forces a ~15 min rebuild+pretrain on retry, and
+    phase-subset re-invocations would silently freeze a DIFFERENT
+    criterion than the one the recorded isp/test phases saw."""
     import cv2
     import jax
     from reconfigisp_tpu.yolo.cfg import yolov3_blocks
@@ -356,6 +361,16 @@ def build_oneplus_fixtures(root, n=2, seed=0, pretrain_iters=0):
     rng = np.random.default_rng(seed)
     data_root = os.path.join(root, "oneplus")
     os.makedirs(data_root, exist_ok=True)
+    wpath = os.path.join(root, "yolov3.weights")
+    cpath = os.path.join(root, "yolov3.weights.build.json")
+    key = {"n": n, "seed": seed, "pretrain_iters": pretrain_iters}
+    if os.path.exists(wpath) and os.path.exists(cpath):
+        with open(cpath) as f:
+            cached = json.load(f)
+        if cached.get("key") == key:
+            log(f"OnePlus fixtures: cache hit ({cpath}); reusing the "
+                f"frozen criterion the previous phases recorded")
+            return data_root, wpath, cached.get("stats")
     scenes, boxes = [], []
     for i in range(n):
         scene = _smooth_scene(rng, H, W) * 0.35
@@ -383,7 +398,6 @@ def build_oneplus_fixtures(root, n=2, seed=0, pretrain_iters=0):
     if pretrain_iters:
         weights, stats = pretrain_criterion(
             blocks, weights, scenes, boxes, pretrain_iters)
-    wpath = os.path.join(root, "yolov3.weights")
     save_darknet_weights(blocks, weights, wpath)
     log(f"OnePlus fixtures: {n} frames at {H}x{W}, 80-class darknet "
         f"weights {os.path.getsize(wpath) / 1e6:.0f} MB"
@@ -406,6 +420,8 @@ def build_oneplus_fixtures(root, n=2, seed=0, pretrain_iters=0):
         log(f"criterion self-check (saved weights, clean eval view): "
             f"top conf {top_conf:.3f}"
             + ("" if top_conf > 0.5 else "  <-- WEAK: eval mAP will suffer"))
+    with open(cpath, "w") as f:
+        json.dump({"key": key, "stats": stats}, f)
     return data_root, wpath, stats
 
 
